@@ -1,0 +1,115 @@
+"""Per-partition lineage manifests + checkpoint resume (north rule).
+
+Replaces the reference's durability story (persistent RabbitMQ delivery,
+message_queue/rabbitmq/queue.py:40-66 — dead code in practice) with the
+model Iceberg provides: atomic snapshot commits + a manifest table that
+records what was processed, so a failed run resumes by skipping committed
+work.
+
+Unit of resume: a deterministic *bucket* of urls, ``pmod(xxhash64(url),
+n_buckets)`` — stable across runs and cluster sizes (task partition ids are
+NOT stable, so they are recorded for observability but never used as the
+resume key). A run writes, per bucket:
+
+    bucket int, run_id string, row_count long, n_errors long,
+    bytes_hash string (xor-fold of per-url sha256 — order-independent),
+    committed_at timestamp
+
+Resume = anti-join pending buckets against the manifest (SURVEY.md §4.3.2).
+With Iceberg the output append + manifest append would share one
+transaction; on plain parquet we emulate by writing output first, manifest
+last (manifest row ⇒ bucket fully present — write-ahead in the safe
+direction). Partial bucket output from a crashed run is overwritten by the
+deterministic dynamic-partition overwrite of that bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MANIFEST_SCHEMA",
+    "with_bucket",
+    "committed_buckets",
+    "pending",
+    "write_extracted_with_manifest",
+]
+
+MANIFEST_SCHEMA = (
+    "bucket int, run_id string, row_count long, n_errors long, "
+    "bytes_hash string, committed_at timestamp"
+)
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def committed_buckets(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """Manifest rows of prior runs; empty DataFrame if none exist yet."""
+    try:
+        return spark.read.parquet(manifest_path).select("bucket").distinct()
+    except Exception:  # first run: no manifest table
+        return spark.createDataFrame([], "bucket int")
+
+
+def pending(pages_bucketed: DataFrame, committed: DataFrame) -> DataFrame:
+    """Anti-join resume: drop pages whose bucket already committed (J4)."""
+    return pages_bucketed.join(committed, "bucket", "left_anti")
+
+
+def _xor_fold_sha(col):
+    """Order-independent 64-bit fold of per-url text sha256 — the bucket's
+    bytes_hash is identical no matter how rows were partitioned/ordered."""
+    return F.lpad(
+        F.hex(
+            F.expr(
+                "aggregate(collect_list(conv(substring(text_sha256,1,15),16,10)),"
+                " 0L, (acc, x) -> acc ^ cast(x as bigint))"
+            )
+        ),
+        16,
+        "0",
+    )
+
+
+def write_extracted_with_manifest(
+    extracted_bucketed: DataFrame,
+    out_path: str,
+    manifest_path: str,
+    run_id: str,
+) -> None:
+    """Commit extracted rows + their lineage manifest, bucket-partitioned.
+
+    partitionOverwriteMode=dynamic replaces only the buckets present in
+    this run (idempotent re-run of a crashed bucket); with Iceberg this
+    whole function is one ``append`` + one manifest ``append`` in a single
+    transaction.
+    """
+    spark = extracted_bucketed.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    extracted_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        out_path
+    )
+    manifest = (
+        extracted_bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+            _xor_fold_sha(None).alias("bytes_hash"),
+        )
+        .select(
+            "bucket",
+            F.lit(run_id).alias("run_id"),
+            "row_count",
+            "n_errors",
+            "bytes_hash",
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
+    manifest.write.mode("append").parquet(manifest_path)
