@@ -1,0 +1,201 @@
+"""Deduplication operators: exact, MinHash(+LSH), SimHash, n-gram Jaccard.
+
+Core components of a web-scale training-data pipeline (dedup before
+training). Everything below is pure Column expressions — JVM-side,
+shuffle-conscious:
+
+- exact:    one groupBy on a 16-hex fingerprint (map-side partial agg);
+- MinHash:  signatures computed scan-local (no shuffle), candidate pairs
+            via an equi-join on LSH band keys — the band join is the ONLY
+            shuffle, and its keys are short strings;
+- SimHash:  60-bit signature from md5-derived token hashes, bit-vote fold;
+- Jaccard:  exact verification on candidate pairs only (never all-pairs).
+
+At 10^12 docs: the LSH band join shuffles O(bands × docs) short rows
+instead of O(docs²) comparisons; band keys hash-distribute evenly by
+construction (they are hashes), so no salting is needed; the Jaccard
+verify joins shingle arrays only for the tiny candidate set.
+
+Hashing is md5-based (not Spark's xxhash64) so the DuckDB oracle can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, norm_text, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "simhash60",
+    "simhash_signatures",
+]
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_SHINGLE = 3
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one canonical doc per distinct content
+    fingerprint. Output: (fingerprint, n_docs, canonical_doc_id)."""
+    return (
+        docs.select(
+            fingerprint(F.col(text_col)).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles of normalized text; docs shorter than
+    n words use the whole normalized text as their single shingle."""
+    t = tokens(col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+    )
+    return F.when(F.size(t) < n, F.array(norm_text(col))).otherwise(grams)
+
+
+def _minhash(sh: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of md5('{seed}_' + shingle).
+    A seeded-hash family over the shingle set — min is order-independent,
+    so signatures don't depend on partitioning."""
+    return F.array_min(
+        F.transform(
+            sh, lambda s: F.md5(F.encode(F.concat(F.lit(f"{seed}_"), s), "UTF-8"))
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns sig_0..sig_{num_hashes-1}."""
+    sh = shingles(F.col(text_col), shingle_n)
+    return docs.select(
+        "doc_id",
+        *[_minhash(sh, i).alias(f"sig_{i}") for i in range(num_hashes)],
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band hashes), join docs that
+    collide in ANY band. Output: (doc_a, doc_b, n_shared_bands).
+
+    The join key (band_idx, band_key) is a hash — uniformly distributed,
+    so the shuffle is skew-free by construction."""
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col(f"sig_{b * rows_per_band + r}")
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                "UTF-8",
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.*")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (the verify stage after
+    LSH recall). Output ints + a division of identical ints → identical
+    doubles across engines."""
+    sh = docs.select(
+        "doc_id", shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
+    union = F.size(F.col("sh")) + F.size(F.col("sh_b")) - inter
+    return j.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("n_intersect"),
+        union.alias("n_union"),
+        F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+    )
+
+
+def simhash60(col_sql: str) -> Column:
+    """60-bit SimHash of whitespace tokens (``col_sql`` is a SQL expression
+    naming the text column — built with F.expr because PySpark's
+    shiftright/shiftleft wrappers only take literal shift amounts).
+
+    Token hash: first 15 hex chars of md5 → 60-bit int (engine-portable:
+    DuckDB ('0x'||substr(md5(t),1,15))::BIGINT). Each bit is the sign of
+    the ±1 vote sum across tokens; ties (vote 0) count as 0."""
+    norm = f"trim(regexp_replace(lower({col_sql}), '\\\\s+', ' '))"
+    th = (
+        f"transform(split({norm}, ' '), "
+        "t -> cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+    return F.expr(
+        "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
+        f"if(aggregate({th}, cast(0 as bigint), "
+        "(a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", simhash60(text_col).alias("simhash"))

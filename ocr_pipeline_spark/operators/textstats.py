@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data pipelines (pure Column
+expressions — JVM-side, whole-stage codegen; no Python UDFs).
+
+These extend the engine beyond the reference's operator set (SURVEY.md §2
+covers extraction; a 100 TB training-data pipeline also needs language ID,
+quality scoring, token counting, and fingerprinting over the extracted
+text). Heuristics follow published corpus-filtering practice (C4/Gopher
+style length & stopword rules).
+
+Every function is deliberately expressible in ANSI SQL so the driver's
+DuckDB oracle can replay it exactly: normalization, hashing (md5) and
+arithmetic are specified to be engine-identical (decimal/int math or
+identically-ordered double folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS_EN",
+    "norm_text",
+    "tokens",
+    "word_count",
+    "token_stats",
+    "quality_flags",
+    "lang_id",
+    "fingerprint",
+]
+
+# Tiny deterministic English stopword list (top function words) — used by
+# both the quality heuristic and the language-ID score; mirrored verbatim
+# in the DuckDB oracle SQL.
+STOPWORDS_EN = (
+    "the be to of and a in that have i it for not on with he as you do at "
+    "this but his by from they we say her she or an will my one all would "
+    "there their what so up out if about who get which go me"
+).split()
+
+_WORD_RE = "[A-Za-z0-9]+"
+_PUNCT_RE = "[.,;:!?]"
+
+
+def norm_text(col: Column) -> Column:
+    """Deterministic normalization shared by all text operators:
+    lowercase, collapse whitespace runs, trim. Identical semantics in
+    DuckDB: trim(regexp_replace(lower(c), '\\s+', ' ', 'g'))."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(norm_text(col), " ")
+
+
+def word_count(col: Column) -> Column:
+    """BPE-ish regex token count: alnum runs (punct splits words)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_WORD_RE), 0))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics (A3/A9 analogue: counts per unit)."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("ws_tokens"),
+        word_count(F.col(text_col)).alias("words"),
+        F.length(norm_text(F.col(text_col))).alias("norm_chars"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PUNCT_RE), 0)).alias(
+            "punct_chars"
+        ),
+        F.size(F.array_distinct(t)).alias("distinct_tokens"),
+    )
+
+
+def quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style quality gates as boolean columns + the verdict.
+
+    All thresholds integer/boolean so cross-engine comparison is exact;
+    mean word length is compared via cross-multiplication (chars vs
+    token count) to avoid float division.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(norm_text(F.col(text_col)))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    len_ok = (n_tok >= F.lit(5)) & (n_tok <= F.lit(100000))
+    # mean token length in [2, 12]: 2*n_tok <= n_alpha_chars <= 12*n_tok
+    n_word_chars = n_chars - (n_tok - F.lit(1))  # chars minus single spaces
+    wlen_ok = (n_word_chars >= F.lit(2) * n_tok) & (
+        n_word_chars <= F.lit(12) * n_tok
+    )
+    # ≥1 stopword per 50 tokens: 50*hits >= n_tok
+    stop_ok = F.lit(50) * stop_hits >= n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        len_ok.alias("len_ok"),
+        wlen_ok.alias("wlen_ok"),
+        stop_ok.alias("stop_ok"),
+        (len_ok & wlen_ok & stop_ok).alias("is_quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language score (n-gram-free heuristic: a real deploy
+    swaps in per-language stopword lists; the operator shape — vectorized
+    membership scan + threshold — is the same). Emits integer evidence and
+    the guess, no float ratios."""
+    t = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_tok = F.size(t)
+    guess = F.when(F.lit(20) * hits >= n_tok, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        hits.alias("en_stop_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(col: Column, prefix_len: int = 16) -> Column:
+    """Document fingerprint: md5 of normalized text (stable across
+    engines; DuckDB: substr(md5(norm), 1, 16)). The rolling-hash analogue
+    of the reference's region ids — content-derived, not positional."""
+    return F.substring(F.md5(F.encode(norm_text(col), "UTF-8")), 1, prefix_len)

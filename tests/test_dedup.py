@@ -1,0 +1,83 @@
+"""Functional dedup tests on planted near-duplicates (the oracle harness
+in test_entry.py proves cross-engine parity; these prove the operators
+actually find duplicates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "near the quiet river bend where children play every summer afternoon"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                  # exact dup of 0
+        (2, BASE.replace("quick", "swift")),        # near dup of 0
+        (3, BASE.replace("summer", "spring") + " extra words at the end"),
+        (4, "completely different content about spark shuffle partitions "
+            "and arrow record batches in distributed query engines with "
+            "columnar storage and vectorized execution kernels"),
+        (5, "another unrelated document mentioning lineage manifests and "
+            "checkpoint resume semantics for idempotent batch pipelines "
+            "processing common crawl web archive snapshots"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, corpus):
+    groups = {r["fingerprint"]: r for r in exact_dedup(corpus).collect()}
+    dup = [g for g in groups.values() if g["n_docs"] == 2]
+    assert len(dup) == 1
+    assert dup[0]["canonical_doc_id"] == 0
+    assert sum(g["n_docs"] for g in groups.values()) == 6
+
+
+def test_minhash_lsh_finds_near_dups(spark, corpus):
+    sigs = minhash_signatures(corpus)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 4  # identical: all bands
+    assert (0, 2) in pairs or (1, 2) in pairs      # near-dup collides
+    assert all({a, b} != {4, 5} for a, b in pairs) # unrelated don't
+
+
+def test_jaccard_verify_scores(spark, corpus):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 4)], "doc_a long, doc_b long"
+    )
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in jaccard_verify(corpus, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0.7 < j[(0, 2)] < 1.0
+    assert j[(0, 4)] == 0.0
+
+
+def test_simhash_hamming_separates(spark, corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) <= 12      # near dup: few bits differ
+    assert ham(sh[0], sh[4]) >= 15      # unrelated: many bits differ
+
+
+def test_signatures_independent_of_partitioning(spark, corpus):
+    a = sorted(minhash_signatures(corpus.repartition(1)).collect())
+    b = sorted(minhash_signatures(corpus.repartition(7)).collect())
+    assert a == b

@@ -1,0 +1,74 @@
+"""Similarity-search tests: brute-force correctness vs numpy, ANN recall
+vs the brute baseline on the driver's embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_pipeline_spark.operators.similarity import ann_topk, brute_force_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, qid, k):
+    qi = int(np.where(ids == qid)[0][0])
+    q = mat[qi]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        ((round(s, 4), int(i)) for s, i in zip(sims, ids) if i != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in order[:k]]
+
+
+def test_brute_force_matches_numpy(spark, emb, emb_np):
+    ids, mat = emb_np
+    got = brute_force_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in [0, 1, 2]:
+        assert by_q[qid] == _numpy_topk(ids, mat, qid, 5), qid
+
+
+def test_ann_recall_vs_brute(spark, emb):
+    """Default config (3 planes × 6 tables) measured at recall 0.84 on
+    this table; assert a robust floor and that returned neighbors are
+    genuinely similar."""
+    qids = list(range(10))
+    brute = brute_force_topk(emb, query_ids=qids, k=5).collect()
+    ann = ann_topk(emb, query_ids=qids, k=5).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    recall = len(aset & bset) / len(bset)
+    assert recall >= 0.6, f"recall {recall}"
+    # ANN hits must rank within each query's true top-25
+    top25 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, query_ids=qids, k=25).collect()
+    }
+    good = len(aset & top25) / max(1, len(aset))
+    assert good >= 0.8, f"ann precision vs top25: {good}"
+
+
+def test_ann_deterministic(spark, emb):
+    a = sorted(map(tuple, ann_topk(emb, query_ids=[0, 1], k=3).collect()))
+    b = sorted(map(tuple, ann_topk(emb.repartition(9), query_ids=[0, 1], k=3).collect()))
+    assert a == b
