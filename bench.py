@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Default mode: run the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+``--scaling`` mode (north rule, BASELINE.json): run the SAME fused
+extraction job on the SAME synthesized pages table at two parallelism
+levels (local[N] and local[4N], default N=8) and report docs/sec at both
+plus scaling efficiency = (T_N / T_4N) / 4. This is the sandbox stand-in
+for N vs 4N executors (no real cluster here); the job itself is a single
+narrow mapInPandas stage, so its scaling is governed by input partition
+count — which we set explicitly to ≥ 2× the larger core count.
+
+Timing excludes session startup; each query is forced with a noop-format
+write (full materialization, zero sink cost, no driver collect).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "o4_top_order_per_cust",
+    "j3_regroup_order",
+    "a1_explode_tokens",
+    # training-data ops
+    "ts_quality_flags",
+    "dd_minhash",
+    "dd_lsh_pairs",
+    "sim_topk_bruteforce",
+    # extraction flagship (synthesized pages parquet, see _pages_path)
+    "x_extract_fused",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _pages_path(sf: float) -> tuple[str, int]:
+    """Synthetic pages parquet for the extraction benchmark; page count
+    scales with sf (sf0.1 → 4000 pages, ~170 MB of HTML/PDF payloads)."""
+    n = max(200, int(40_000 * sf))
+    return f"/tmp/bench_pages_n{n}", n
+
+
+def _ensure_pages(spark: SparkSession, sf: float) -> str:
+    from ocr_pipeline_spark.sources.synth_pages import write_pages_parquet
+
+    path, n = _pages_path(sf)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_pages_parquet(spark, path, n)
+    return path
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_headline(sf_dir: str, cores: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from ocr_pipeline_spark.operators.extraction import extract_pages
+    from ocr_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+    sf = _sf_of(sf_dir)
+    pages_parquet = _ensure_pages(spark, sf)
+    qs = entrymod.queries()
+    # swap the in-memory synth pages for the parquet-scale table
+    qs["x_extract_fused"] = lambda s, d: extract_pages(
+        s.read.parquet(pages_parquet)
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.monotonic()
+        _force(df)
+        timings[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return {
+        "metric": "headline query suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+def run_scaling(n_small: int, sf: float, n_pages: int | None) -> dict:
+    from ocr_pipeline_spark.operators.extraction import extract_pages
+    from ocr_pipeline_spark.session import get_spark
+
+    n_big = 4 * n_small
+    if n_pages is None:
+        n_pages = _pages_path(sf)[1]
+    results = {}
+    for cores in (n_small, n_big):
+        spark = get_spark(f"bench-scaling-{cores}", cores=cores)
+        path = _ensure_pages(spark, sf)
+        pages = spark.read.parquet(path).repartition(2 * n_big)
+        # warm-up: JVM/codegen + python worker pool spin-up, excluded
+        _force(extract_pages(pages.limit(64)))
+        t0 = time.monotonic()
+        _force(extract_pages(pages))
+        dt = time.monotonic() - t0
+        results[cores] = dt
+        spark.stop()
+    eff = (results[n_small] / results[n_big]) / 4.0
+    return {
+        "metric": "extraction scaling efficiency N->4N cores",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "n_pages": n_pages,
+        "cores_small": n_small,
+        "cores_big": n_big,
+        "sec_small": round(results[n_small], 2),
+        "sec_big": round(results[n_big], 2),
+        "docs_per_sec_small": round(n_pages / results[n_small], 1),
+        "docs_per_sec_big": round(n_pages / results[n_big], 1),
+        "sf": sf,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--n-small", type=int, default=8)
+    ap.add_argument("--n-pages", type=int, default=None)
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if args.scaling:
+        out = run_scaling(args.n_small, _sf_of(sf_dir), args.n_pages)
+    else:
+        out = run_headline(sf_dir, cores)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

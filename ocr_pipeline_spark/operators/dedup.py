@@ -30,6 +30,7 @@ from .textstats import fingerprint, norm_text, tokens
 __all__ = [
     "exact_dedup",
     "shingles",
+    "shingle_sets",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_verify",
@@ -56,17 +57,39 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct word n-gram shingles of normalized text; docs shorter than
-    n words use the whole normalized text as their single shingle."""
-    t = tokens(col)
+def _shingles_from(t: Column, norm: Column, n: int) -> Column:
+    """Shingles from precomputed token-array and normalized-text columns —
+    lets callers stage tokenization in its own projection so the (costly,
+    CodegenFallback) tokenize tree is evaluated once per row, not once per
+    reference (Catalyst has no logical-plan CSE)."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
             lambda i: F.array_join(F.slice(t, i + 1, n), " "),
         )
     )
-    return F.when(F.size(t) < n, F.array(norm_text(col))).otherwise(grams)
+    return F.when(F.size(t) < n, F.array(norm)).otherwise(grams)
+
+
+def shingles(col: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct word n-gram shingles of normalized text; docs shorter than
+    n words use the whole normalized text as their single shingle."""
+    return _shingles_from(tokens(col), norm_text(col), n)
+
+
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", n: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """(doc_id, _sh) with tokenization and shingling staged as separate
+    projections (see _shingles_from)."""
+    pre = docs.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("_t"),
+        norm_text(F.col(text_col)).alias("_n"),
+    )
+    return pre.select(
+        "doc_id", _shingles_from(F.col("_t"), F.col("_n"), n).alias("_sh")
+    )
 
 
 def _minhash(sh: Column, seed: int) -> Column:
@@ -86,11 +109,18 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """Per-doc MinHash signature: columns sig_0..sig_{num_hashes-1}."""
-    sh = shingles(F.col(text_col), shingle_n)
-    return docs.select(
+    """Per-doc MinHash signature: columns sig_0..sig_{num_hashes-1}.
+
+    Staged as two projections (shingles, then the per-seed mins) on
+    purpose: higher-order expressions are CodegenFallback, and a single
+    select would inline the whole shingle tree into every sig_i
+    (Catalyst has no logical CSE) — 8× the tokenize/ngram work per row
+    and an 8× bigger plan. CollapseProject keeps the split because the
+    shingle expression is non-cheap and multiply-referenced."""
+    sh_df = shingle_sets(docs, text_col, shingle_n)
+    return sh_df.select(
         "doc_id",
-        *[_minhash(sh, i).alias(f"sig_{i}") for i in range(num_hashes)],
+        *[_minhash(F.col("_sh"), i).alias(f"sig_{i}") for i in range(num_hashes)],
     )
 
 
@@ -152,9 +182,7 @@ def jaccard_verify(
     """Exact shingle-set Jaccard on candidate pairs (the verify stage after
     LSH recall). Output ints + a division of identical ints → identical
     doubles across engines."""
-    sh = docs.select(
-        "doc_id", shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    sh = shingle_sets(docs, text_col, shingle_n).withColumnRenamed("_sh", "sh")
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").alias("sa"), "doc_a")
         .join(
