@@ -1,0 +1,17 @@
+"""Structured Streaming surface: the reference's batching/trigger
+machinery (message_queue/, SURVEY.md §2.8) re-expressed as Spark
+streaming primitives."""
+
+from .stream_extract import (
+    read_pages_stream,
+    start_extract_stream,
+    stream_window_counts,
+)
+from .bucket_state import bucket_batch
+
+__all__ = [
+    "read_pages_stream",
+    "start_extract_stream",
+    "stream_window_counts",
+    "bucket_batch",
+]

@@ -1,0 +1,99 @@
+"""Streaming extraction: readStream → fused kernel → writeStream.
+
+Mapping from the reference's hand-built micro-batch loop (SURVEY.md §2.8):
+
+- B1/B5 size trigger  → ``maxFilesPerTrigger`` on the file source (a
+  micro-batch fires when enough input accumulates);
+- B6 time trigger     → ``trigger(processingTime=...)``;
+- B7 hybrid           → both at once (Spark's trigger loop IS hybrid:
+  every interval it takes *up to* the size cap);
+- B3 drain            → ``trigger(availableNow=True)``: process the
+  backlog as a sequence of bounded micro-batches, then stop;
+- durability (the reference's RabbitMQ persistent-delivery path,
+  rabbitmq/queue.py:40-66) → the checkpoint dir + file-sink commit log:
+  exactly-once, resumable, no monitor-loop race (the get_batch/clear race
+  at message_queue/monitor.py:50-56 cannot exist — offsets are committed
+  atomically with the sink transaction);
+- B8 late data        → watermarks on event-time windows
+  (``stream_window_counts``); the reference simply blocked forever on
+  lost results (pipeline/app.py:253).
+
+The transformation body is the SAME ``extract_pages`` used in batch —
+one code path for both engines is the point of building on DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.extraction import extract_pages
+from ..sources.synth_pages import PAGES_SCHEMA
+
+__all__ = ["read_pages_stream", "start_extract_stream", "stream_window_counts"]
+
+
+def read_pages_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the pages table. ``max_files_per_trigger``
+    is the size-trigger analogue (B5): bounds pages per micro-batch the
+    way the reference's bucket bounded regions per GPU call."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def start_extract_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+    processing_time: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run the extraction kernel as a streaming query with the trigger
+    semantics chosen by the caller (hybrid = both size and time)."""
+    pages = read_pages_stream(spark, src_dir, max_files_per_trigger)
+    extracted = extract_pages(pages)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_window_counts(
+    events: DataFrame,
+    ts_col: str = "warc_ts",
+    key_col: str = "lang",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts with a watermark (late-data bound).
+
+    Works identically on a streaming or batch DataFrame (watermark is a
+    no-op in batch) — the per-stage docs/sec metrics rollup of the north
+    rule, windowed by ingestion time. Late rows beyond ``watermark`` are
+    dropped instead of blocking forever (the reference's failure mode,
+    pipeline/app.py:253)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_docs",
+        )
+    )

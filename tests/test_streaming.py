@@ -1,0 +1,125 @@
+"""Streaming surface tests (SURVEY.md §2.8 rebuild).
+
+- availableNow extraction stream ≡ batch extraction (same kernel, same
+  bytes) — the drain-trigger path B3;
+- maxFilesPerTrigger bounds micro-batch size — the size-trigger path B5;
+- bucket_batch stateful op reproduces STDBucket exact-slice +
+  remainder-carry semantics (B2) with checkpointed state;
+- windowed counts with watermark run identically in batch mode (B8).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_pipeline_spark.operators.extraction import extract_pages
+from ocr_pipeline_spark.sources.synth_pages import PAGES_SCHEMA, synth_pages
+from ocr_pipeline_spark.streaming import (
+    bucket_batch,
+    start_extract_stream,
+    stream_window_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_src(spark, pages_pdf, tmp_path_factory):
+    """Pages table written as 4 separate parquet files (4 stream arrivals)."""
+    root = tmp_path_factory.mktemp("stream_src")
+    n = len(pages_pdf)
+    step = n // 4
+    for i in range(4):
+        chunk = pages_pdf.iloc[i * step : (i + 1) * step if i < 3 else n]
+        spark.createDataFrame(chunk, schema=PAGES_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(root / "pages"))
+    return str(root / "pages")
+
+
+def _wait(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+        raise AssertionError("stream did not drain in time")
+
+
+def test_available_now_matches_batch(spark, pages_src, tmp_path):
+    out = str(tmp_path / "out")
+    q = start_extract_stream(
+        spark,
+        pages_src,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    _wait(q)
+    streamed = spark.read.parquet(out).select("url", "text_sha256")
+    batch = extract_pages(spark.read.parquet(pages_src)).select(
+        "url", "text_sha256"
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_max_files_per_trigger_bounds_batches(spark, pages_src, tmp_path):
+    """4 input files + maxFilesPerTrigger=1 → 4 micro-batches (B5)."""
+    out = str(tmp_path / "out")
+    q = start_extract_stream(
+        spark,
+        pages_src,
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    _wait(q)
+    assert q.lastProgress["batchId"] >= 3  # batch ids 0..3
+    n_in = spark.read.parquet(pages_src).count()
+    assert spark.read.parquet(out).count() == n_in
+
+
+def test_bucket_batch_exact_slice_and_remainder(spark, tmp_path):
+    """25 items for key 'a', 7 for 'b', max_batch_size=10 → exactly two
+    'size' batches for a (10+10, remainder 5 held in state), none for b —
+    STDBucket.get_batch semantics (bucket.py:72-76)."""
+    src = str(tmp_path / "src")
+    rows = [("a", f"a{i:03d}") for i in range(25)] + [
+        ("b", f"b{i:03d}") for i in range(7)
+    ]
+    spark.createDataFrame(rows, "key string, item string").coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("key string, item string").parquet(src)
+    batches = bucket_batch(stream, max_batch_size=10, wait_timeout_ms=None)
+    q = (
+        batches.writeStream.format("memory")
+        .queryName("bucket_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["key"], r["batch_seq"]): (r["items"], r["reason"])
+        for r in spark.table("bucket_out").collect()
+    }
+    assert set(got) == {("a", 0), ("a", 1)}
+    items0, reason0 = got[("a", 0)]
+    items1, reason1 = got[("a", 1)]
+    assert reason0 == reason1 == "size"
+    # exact slices in arrival order, remainder (a020..a024) not emitted
+    assert items0 == [f"a{i:03d}" for i in range(10)]
+    assert items1 == [f"a{i:03d}" for i in range(10, 20)]
+
+
+def test_window_counts_batch_semantics(spark, pages_df):
+    """Watermarked windowed agg runs in batch mode and totals match."""
+    wc = stream_window_counts(pages_df, window="30 days", watermark="1 hour")
+    total = wc.agg(F.sum("n_docs")).first()[0]
+    assert total == pages_df.count()
+    one = wc.first()
+    assert one["window_end"] > one["window_start"]
