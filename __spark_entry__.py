@@ -39,13 +39,27 @@ from ocr_pipeline_spark.operators.extraction import (
     regroup_blocks,
     segment_pages,
 )
-from ocr_pipeline_spark.operators.similarity import brute_force_topk
+from ocr_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media_meta,
+    media_features,
+    synth_media,
+)
+from ocr_pipeline_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_near_dup,
+    _plane_constants,
+)
 from ocr_pipeline_spark.operators.textstats import (
     STOPWORDS_EN,
     lang_id,
     quality_flags,
+    rolling_hash,
     token_stats,
+    winnow_fingerprints,
 )
+from ocr_pipeline_spark.streaming import stream_window_counts
 from ocr_pipeline_spark.sources.synth_pages import PAGES_SCHEMA, synth_pages
 
 # ---------------------------------------------------------------------------
@@ -123,8 +137,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": lambda s, d: simhash_signatures(_t(s, d, "documents")),
         "dd_lsh_pairs": _dd_lsh_pairs,
         "dd_jaccard_bucket": _dd_jaccard_bucket,
+        # -- training-data ops: fingerprinting -----------------------------
+        "fp_rolling": lambda s, d: _t(s, d, "documents").select(
+            "doc_id", rolling_hash(F.col("text")).alias("rhash")
+        ),
+        "fp_winnow": lambda s, d: winnow_fingerprints(
+            _t(s, d, "documents")
+        ).select("doc_id", F.explode("fingerprints").alias("fp")),
         # -- training-data ops: similarity search --------------------------
         "sim_topk_bruteforce": _sim_topk_bruteforce,
+        "sim_near_dup": lambda s, d: cosine_near_dup(_t(s, d, "embeddings")),
+        # ann: LSH-bucketed scale path; deterministic (md5-seeded planes)
+        # but bucket logic is multi-table — rows-only driver check, recall
+        # quantified vs brute force in tests/test_similarity.py
+        "sim_ann_topk": lambda s, d: ann_topk(
+            _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        # -- multimodal plumbing (binary payloads; no DuckDB view → rows-
+        #    only check; kernel correctness in tests/test_multimodal.py) --
+        "mm_decode_meta": lambda s, d: decode_media_meta(
+            _media_df(s)
+        ).orderBy("media_id"),
+        "mm_features": lambda s, d: media_features(_media_df(s)).orderBy(
+            "media_id"
+        ),
+        # -- streaming operator in batch mode (identical plan) -------------
+        "st_window_counts": lambda s, d: stream_window_counts(
+            _t(s, d, "events"), ts_col="ts", key_col="event_type"
+        ),
+        # -- metrics rollup / window frame / json projection / set op ------
+        "a6_metrics_rollup": _a6_metrics_rollup,
+        "w_moving_avg": _w_moving_avg,
+        "p_json_extract": _p_json_extract,
+        "set_view_not_error": _set_view_not_error,
         # -- extraction pipeline (no SQL oracle: synthesized pages input;
         #    byte-identity enforced by the pytest golden suite) ------------
         "x_extract_fused": lambda s, d: extract_pages(_synth_pages_df(s)).orderBy(
@@ -291,8 +336,110 @@ def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def _media_df(spark: SparkSession, n: int = 200) -> DataFrame:
+    return spark.createDataFrame(synth_media(n), schema=MEDIA_SCHEMA)
+
+
+def _a6_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/M3 + rollup: per-stage timer summary with an ALL total row."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def _w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: 3-row moving sum/avg per user over time.
+    Decimal frame-sum → exact doubles on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    msum = F.sum(_dec("value")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        msum.alias("moving_sum"),
+        F.round(msum / cnt, 4).alias("moving_avg"),
+    )
+
+
+def _p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON field extract + filter."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
+
+
+def _set_view_not_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: users who viewed but never errored (EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return views.exceptAll(errs)
+
+
 # ---------------------------------------------------------------------------
 # oracles
+
+def _dot_sql(vec: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_transform(list_zip({vec}, {lit}), "
+        "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(u: str, v: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({x}, {y}), "
+            "p -> p[1] * p[2]), (acc, x) -> acc + x)"
+        )
+
+    return (
+        f"round({dot(u, v)} / (sqrt({dot(u, u)}) * sqrt({dot(v, v)})), 4)"
+    )
+
+
+def _near_dup_sql(
+    threshold: float = 0.7, n_planes: int = 4, dim: int = 64, seed: int = 0
+) -> str:
+    """LSH-bucketed near-dup oracle: the hyperplane constants are the SAME
+    md5-derived doubles the Spark operator uses (imported, inlined as
+    literals), and every float fold is sequence-identical — so bucket ids
+    and cosines match bit-for-bit."""
+    planes = _plane_constants(n_planes, dim, seed)
+    bucket = " + ".join(
+        f"CASE WHEN {_dot_sql('v', p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        pairs AS (
+          SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 {_cos_sql('x.v', 'y.v')} AS cos_sim
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     cos = (
@@ -441,6 +588,57 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
                          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
             FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+        """,
+        "fp_rolling": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)),
+                     (a, x) -> (a * 31 + x) % 2147483648) AS rhash
+            FROM documents
+        """,
+        "fp_winnow": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                    list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                      i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 12))::BIGINT) AS hs
+                  FROM t),
+            m AS (SELECT doc_id,
+                    list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+                      i -> list_min(hs[i+1:i+4]))) AS fps
+                  FROM h)
+            SELECT doc_id, unnest(fps) AS fp FROM m
+        """,
+        "sim_near_dup": _near_dup_sql(),
+        "st_window_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   event_type, count(*) AS n_docs
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "a6_metrics_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+                   cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "w_moving_avg": """
+            SELECT event_id, user_id,
+                   cast(sum(cast(value as decimal(18,2))) OVER w as double) AS moving_sum,
+                   round(cast(sum(cast(value as decimal(18,2))) OVER w as double)
+                         / count(*) OVER w, 4) AS moving_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "p_json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+            FROM events WHERE json_extract_string(props, '$.k')::INT >= 50
+        """,
+        "set_view_not_error": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
         """,
         "sim_topk_bruteforce": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

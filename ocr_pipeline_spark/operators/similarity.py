@@ -28,7 +28,13 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "hyperplane_bucket", "ann_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "hyperplane_bucket",
+    "ann_topk",
+    "cosine_near_dup",
+]
 
 
 def _dbl(col: Column) -> Column:
@@ -110,6 +116,45 @@ def hyperplane_bucket(
             F.lit(0)
         )
     return bucket
+
+
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.7,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Self-join restricted to rows sharing a hyperplane sign-bucket: an
+    equi-join on a small int key instead of the O(N²) cross product —
+    with 2^n_planes uniform buckets the pair count drops by that factor,
+    and the bucket key shuffles evenly by construction. Candidates are
+    verified with exact cosine ≥ threshold. Recall trades off via
+    n_planes exactly as in ann_topk (single-table here: near-dup pairs
+    are overwhelmingly same-bucket because near-parallel vectors agree on
+    most hyperplane signs)."""
+    keyed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim, seed).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
 
 
 def ann_topk(

@@ -27,6 +27,8 @@ __all__ = [
     "quality_flags",
     "lang_id",
     "fingerprint",
+    "rolling_hash",
+    "winnow_fingerprints",
 ]
 
 # Tiny deterministic English stopword list (top function words) — used by
@@ -130,3 +132,52 @@ def fingerprint(col: Column, prefix_len: int = 16) -> Column:
     engines; DuckDB: substr(md5(norm), 1, 16)). The rolling-hash analogue
     of the reference's region ids — content-derived, not positional."""
     return F.substring(F.md5(F.encode(norm_text(col), "UTF-8")), 1, prefix_len)
+
+
+def _token_hash(tok: Column) -> Column:
+    """48-bit int hash of a token: first 12 hex chars of md5 — portable
+    (DuckDB: ('0x' || substr(md5(t), 1, 12))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def rolling_hash(col: Column, mod: int = 1 << 31) -> Column:
+    """Order-sensitive rolling document hash: left fold
+    h = (h*31 + hash48(token)) mod 2^31 over whitespace tokens.
+    Distinguishes permuted documents (md5-of-text also does, but the fold
+    is incrementally updatable — the property streaming fingerprinters
+    need). Identical fold order in the DuckDB oracle → identical ints."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + _token_hash(t)) % F.lit(mod),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, w: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., SIGMOD'03): hash every
+    k-gram of tokens, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum; output the distinct sorted selection.
+
+    Guarantees: any shared run of ≥ w+k-1 tokens between two documents
+    yields at least one shared fingerprint — the substring-plagiarism /
+    near-dup detector that MinHash (set-based, order-blind) cannot
+    express. Staged projections for the same CSE reason as
+    dedup.minhash_signatures; everything stays JVM-side."""
+    t_df = docs.select("doc_id", tokens(F.col(text_col)).alias("_t"))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("_t")) - k, F.lit(0))),
+        lambda i: _token_hash(F.array_join(F.slice(F.col("_t"), i + 1, k), " ")),
+    )
+    h_df = t_df.select("doc_id", gram_hashes.alias("_h"))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("_h")) - w, F.lit(0))),
+        lambda i: F.array_min(F.slice(F.col("_h"), i + 1, w)),
+    )
+    return h_df.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+    )
