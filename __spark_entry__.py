@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.dedup import (
+    MINHASH_P,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
+    minhash_perm_constants,
     minhash_signatures,
     simhash_signatures,
 )
@@ -313,11 +315,11 @@ def _dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_jaccard_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed candidate pairs (first hex char of sig_0) + exact Jaccard —
+    """Bucketed candidate pairs (sig_0 mod 16) + exact Jaccard —
     nonempty candidate demo on unique-text corpora."""
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs).select(
-        "doc_id", F.substring("sig_0", 1, 1).alias("bucket")
+        "doc_id", (F.col("sig_0") % 16).alias("bucket")
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -447,8 +449,12 @@ def oracle_sql() -> dict[str, str]:
         " / (sqrt(list_reduce(list_transform(list_zip(qv, qv), p -> p[1] * p[2]), (a, x) -> a + x))"
         " * sqrt(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]), (a, x) -> a + x))), 4)"
     )
+    P = MINHASH_P
+    consts = minhash_perm_constants(8)
+    sh_hash = f"(('0x' || substr(md5(s), 1, 12))::BIGINT % {P})"
     sig = lambda i: (  # noqa: E731
-        f"list_min(list_transform({_SHINGLES}, s -> md5('{i}_' || s)))"
+        f"list_min(list_transform({_SHINGLES}, "
+        f"s -> ({consts[i][0]} * {sh_hash} + {consts[i][1]}) % {P}))"
     )
     return {
         "q1_pricing_summary": """
@@ -565,10 +571,10 @@ def oracle_sql() -> dict[str, str]:
             bands AS (
               SELECT doc_id, band_idx,
                      case band_idx
-                       when 0 then md5(sig_0 || '|' || sig_1)
-                       when 1 then md5(sig_2 || '|' || sig_3)
-                       when 2 then md5(sig_4 || '|' || sig_5)
-                       else        md5(sig_6 || '|' || sig_7) end AS band_key
+                       when 0 then md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR)
+                       when 1 then md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR)
+                       when 2 then md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR)
+                       else        md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) end AS band_key
               FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
             FROM bands a JOIN bands b
@@ -578,7 +584,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-            sigs AS (SELECT doc_id, substr({sig(0)}, 1, 1) AS bucket FROM documents),
+            sigs AS (SELECT doc_id, {sig(0)} % 16 AS bucket FROM documents),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)

@@ -22,6 +22,8 @@ reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,9 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "shingle_sets",
+    "shingle_hash",
+    "MINHASH_P",
+    "minhash_perm_constants",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_verify",
@@ -40,6 +45,25 @@ __all__ = [
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_SHINGLE = 3
+
+# Universal-hash-family modulus for MinHash permutations (2^31 - 1, prime).
+# a*h+b stays under 2^62 (a, h < 2^31) — no bigint overflow in either engine.
+MINHASH_P = 2147483647
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for the permutation family h_i(x) = (a_i*x + b_i) mod P —
+    md5-derived so both engines (and any future one) regenerate them."""
+    out = []
+    for i in range(num_hashes):
+        a = (
+            int(hashlib.md5(f"mh_a_{i}".encode()).hexdigest()[:12], 16)
+            % (MINHASH_P - 1)
+            + 1
+        )
+        b = int(hashlib.md5(f"mh_b_{i}".encode()).hexdigest()[:12], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -92,14 +116,14 @@ def shingle_sets(
     )
 
 
-def _minhash(sh: Column, seed: int) -> Column:
-    """One MinHash value: lexicographic min of md5('{seed}_' + shingle).
-    A seeded-hash family over the shingle set — min is order-independent,
-    so signatures don't depend on partitioning."""
-    return F.array_min(
-        F.transform(
-            sh, lambda s: F.md5(F.encode(F.concat(F.lit(f"{seed}_"), s), "UTF-8"))
+def shingle_hash(s: Column) -> Column:
+    """31-bit shingle hash: first 12 md5 hex chars mod P. Portable:
+    DuckDB ('0x' || substr(md5(s), 1, 12))::BIGINT % P."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 12), 16, 10).cast(
+            "long"
         )
+        % MINHASH_P
     )
 
 
@@ -109,18 +133,34 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """Per-doc MinHash signature: columns sig_0..sig_{num_hashes-1}.
+    """Per-doc MinHash signature: bigint columns sig_0..sig_{num_hashes-1},
+    sig_i = min over shingles of (a_i * h(shingle) + b_i) mod P.
 
-    Staged as two projections (shingles, then the per-seed mins) on
-    purpose: higher-order expressions are CodegenFallback, and a single
-    select would inline the whole shingle tree into every sig_i
-    (Catalyst has no logical CSE) — 8× the tokenize/ngram work per row
-    and an 8× bigger plan. CollapseProject keeps the split because the
-    shingle expression is non-cheap and multiply-referenced."""
+    Scale design: the md5 shingle hash is computed ONCE per shingle; each
+    of the num_hashes signatures is 3 integer ops per shingle on top —
+    the classic permutation family, ~num_hashes× cheaper than hashing
+    every shingle per signature. Staged as three projections (shingles →
+    hashes → mins) because higher-order expressions are CodegenFallback
+    and Catalyst has no logical CSE — a single select would inline the
+    whole shingle tree into every sig_i. CollapseProject keeps the split
+    (non-cheap, multiply-referenced producers)."""
     sh_df = shingle_sets(docs, text_col, shingle_n)
-    return sh_df.select(
+    h_df = sh_df.select(
+        "doc_id", F.transform(F.col("_sh"), shingle_hash).alias("_h")
+    )
+    consts = minhash_perm_constants(num_hashes)
+
+    def perm(a: int, b: int):
+        # closure (not default args): PySpark derives lambda arity from
+        # the signature, so extra defaulted params would break transform
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    return h_df.select(
         "doc_id",
-        *[_minhash(F.col("_sh"), i).alias(f"sig_{i}") for i in range(num_hashes)],
+        *[
+            F.array_min(F.transform(F.col("_h"), perm(a, b))).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(consts)
+        ],
     )
 
 
@@ -144,7 +184,9 @@ def lsh_candidate_pairs(
                                 F.concat_ws(
                                     "|",
                                     *[
-                                        F.col(f"sig_{b * rows_per_band + r}")
+                                        F.col(
+                                            f"sig_{b * rows_per_band + r}"
+                                        ).cast("string")
                                         for r in range(rows_per_band)
                                     ],
                                 ),
