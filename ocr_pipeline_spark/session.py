@@ -20,8 +20,11 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "ARROW_MAX_RECORDS_PER_BATCH"]
 
 # ~350-region GPU cap analogue (README.md:84-88): pages per Arrow batch.
-# 256 pages × ~64 KiB average payload ≈ 16 MiB per batch per worker.
-ARROW_MAX_RECORDS_PER_BATCH = 256
+# 128 pages × ~64 KiB average payload ≈ 8 MiB per batch per worker.
+# Measured on the extraction kernel (bench.py --scaling grid): 128 beats
+# 64/256/1024 — small enough that the JVM scan pipelines with Python
+# kernel compute, large enough to amortize the worker round trip.
+ARROW_MAX_RECORDS_PER_BATCH = 128
 
 
 def get_spark(

@@ -135,14 +135,16 @@ def synth_pages(n: int, seed: int = 42) -> pd.DataFrame:
     )
 
 
-def write_pages_parquet(spark, path: str, n: int, seed: int = 42) -> None:
+def write_pages_parquet(
+    spark, path: str, n: int, seed: int = 42, chunk: int = 2000
+) -> None:
     """Materialize a synthetic pages table as parquet at ``path``.
 
     Generation happens distributed (one seed-derived chunk per partition) so
     the synthesizer itself scales; chunk seeds derive from (seed, chunk_id)
-    so output is independent of parallelism.
+    so output is independent of parallelism. ``chunk`` also sets the output
+    file count (n/chunk) — scan parallelism for downstream benchmarks.
     """
-    chunk = 2000
     bounds = [(seed + ci, lo, min(lo + chunk, n))
               for ci, lo in enumerate(range(0, n, chunk))]
 
