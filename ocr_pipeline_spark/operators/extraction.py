@@ -25,6 +25,7 @@ get_batch/clear race at message_queue/monitor.py:50-56 has no analogue).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -74,14 +75,21 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, metrics=None) -> DataFrame:
     """Fused doc→text extraction. Narrow (no shuffle): Catalyst prunes the
-    scan to (url, html) and each input partition maps straight to output."""
+    scan to (url, html) and each input partition maps straight to output.
+
+    ``metrics``: optional StageMetrics — per-batch (rows, kernel seconds)
+    accumulate under stage 'extract' (north-rule docs/sec logging)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _extract_batch(pdf)
+                t0 = time.monotonic()
+                out = _extract_batch(pdf)
+                if metrics is not None:
+                    metrics.add("extract", len(pdf), time.monotonic() - t0)
+                yield out
 
     return pages.select("url", "html").mapInPandas(fn, schema=EXTRACTED_SCHEMA)
 

@@ -81,6 +81,7 @@ def write_extracted_with_manifest(
     out_path: str,
     manifest_path: str,
     run_id: str,
+    run_buckets: list[int] | None = None,
 ) -> None:
     """Commit extracted rows + their lineage manifest, bucket-partitioned.
 
@@ -88,14 +89,24 @@ def write_extracted_with_manifest(
     this run (idempotent re-run of a crashed bucket); with Iceberg this
     whole function is one ``append`` + one manifest ``append`` in a single
     transaction.
+
+    The manifest is aggregated from the rows READ BACK from ``out_path``
+    (restricted to ``run_buckets``, computed cheaply from the input side),
+    not from ``extracted_bucketed``: referencing the un-materialized plan
+    twice would run the whole extraction kernel a second time, and a
+    manifest derived from committed bytes is the stronger integrity claim
+    (it describes what is actually on disk).
     """
     spark = extracted_bucketed.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     extracted_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
         out_path
     )
+    written = spark.read.parquet(out_path)
+    if run_buckets is not None:
+        written = written.filter(F.col("bucket").isin(run_buckets))
     manifest = (
-        extracted_bucketed.groupBy("bucket")
+        written.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("row_count"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
