@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the plan properties the engine is
+designed around (SURVEY.md §4) must survive refactors.
+
+- fused extraction is a single narrow stage (no Exchange);
+- predicate pushdown + column pruning reach the parquet scan;
+- small dims broadcast (no sort-merge join in the star join);
+- LSH candidate generation is equi-join only (never a cross product).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+
+from ocr_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ocr_pipeline_spark.operators.extraction import extract_pages
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fused_extraction_has_no_shuffle(spark, pages_df):
+    plan = _plan(extract_pages(pages_df))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_filter_and_projection_reach_scan(spark):
+    df = entrymod.queries()["p_filter_project"](spark, SF_DIR)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "l_quantity" in scan and ">= 10" in scan  # predicate pushed down
+    # pruned to exactly the referenced columns
+    assert "l_extendedprice" not in scan and "l_shipdate" not in scan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = entrymod.queries()["q5_revenue_by_nation"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # fact table scan is pruned to the join/agg columns only
+    li_scan = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "l_orderkey" in ln
+    ][0]
+    assert "l_comment" not in li_scan and "l_shipdate" not in li_scan
+
+
+def test_lsh_pairs_is_equi_join(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(lsh_candidate_pairs(minhash_signatures(docs)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_broadcasts_queries(spark):
+    df = entrymod.queries()["sim_topk_bruteforce"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "a5_error_rate", "j3_regroup_order"]
+)
+def test_aggregations_have_partial_agg_single_shuffle(spark, name):
+    """Map-side partial aggregation + exactly one exchange per agg."""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # partial aggregate before the shuffle
