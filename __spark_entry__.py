@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.dedup import (
     MINHASH_P,
+    dup_clusters,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -51,6 +52,7 @@ from ocr_pipeline_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
     cosine_near_dup,
+    ivf_topk,
     _plane_constants,
 )
 from ocr_pipeline_spark.operators.textstats import (
@@ -154,6 +156,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantified vs brute force in tests/test_similarity.py
         "sim_ann_topk": lambda s, d: ann_topk(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        "sim_ivf_topk": lambda s, d: ivf_topk(
+            _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        # connected components over LSH pairs → canonical duplicate
+        # clusters (iterative; rows-only check, semantics proven in
+        # tests/test_clusters_ivf.py)
+        "dd_dup_clusters": lambda s, d: dup_clusters(
+            lsh_candidate_pairs(minhash_signatures(_t(s, d, "documents")))
         ),
         # -- multimodal plumbing (binary payloads; no DuckDB view → rows-
         #    only check; kernel correctness in tests/test_multimodal.py) --

@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_verify",
+    "dup_clusters",
     "simhash60",
     "simhash_signatures",
 ]
@@ -243,6 +244,84 @@ def jaccard_verify(
         union.alias("n_union"),
         F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over candidate
+    pairs via hash-min label propagation (each doc converges to the
+    minimum doc_id of its component — the canonical representative).
+
+    Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
+
+    Iterative DataFrame algorithm (the shape Spark lacks a built-in for):
+    each round (1) takes min(own label, neighbors' labels) over the
+    symmetrized edge list, then (2) pointer-jumps (label := label of my
+    label — path compression), so convergence is O(log diameter), not
+    O(diameter); ``localCheckpoint`` truncates the plan per round so
+    lineage doesn't grow with iterations. The loop exits early on
+    convergence — checked with a limit(1).count(), never a collect."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("n_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_label").alias("n_min"))
+        )
+        m1 = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("n_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label := label(label) — halves path lengths
+        parents = m1.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_parent"),
+        )
+        updated = (
+            m1.join(parents, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_parent"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("cluster_id", "_old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
 
 
 def simhash60(col_sql: str) -> Column:
