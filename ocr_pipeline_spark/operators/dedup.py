@@ -326,18 +326,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def simhash60(col_sql: str) -> Column:
     """60-bit SimHash of whitespace tokens (``col_sql`` is a SQL expression
-    naming the text column — built with F.expr because PySpark's
-    shiftright/shiftleft wrappers only take literal shift amounts).
+    naming the text column OR a precomputed token-hash array column —
+    built with F.expr because PySpark's shiftright/shiftleft wrappers only
+    take literal shift amounts).
 
     Token hash: first 15 hex chars of md5 → 60-bit int (engine-portable:
     DuckDB ('0x'||substr(md5(t),1,15))::BIGINT). Each bit is the sign of
     the ±1 vote sum across tokens; ties (vote 0) count as 0."""
-    norm = f"trim(regexp_replace(lower({col_sql}), '\\\\s+', ' '))"
-    th = (
-        f"transform(split({norm}, ' '), "
-        "t -> cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10)"
-        " as bigint))"
-    )
+    th = _simhash_token_hashes(col_sql)
     return F.expr(
         "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
         f"if(aggregate({th}, cast(0 as bigint), "
@@ -346,5 +342,29 @@ def simhash60(col_sql: str) -> Column:
     )
 
 
+def _simhash_token_hashes(col_sql: str) -> str:
+    norm = f"trim(regexp_replace(lower({col_sql}), '\\\\s+', ' '))"
+    return (
+        f"transform(split({norm}, ' '), "
+        "t -> cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10)"
+        " as bigint))"
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select("doc_id", simhash60(text_col).alias("simhash"))
+    """Staged: token hashes in their own projection, then the 60-bit vote
+    fold referencing the array column — without the split, the tokenize+
+    md5 tree would sit INSIDE the per-bit fold and be re-evaluated 60×
+    per row (no logical CSE; same fix as minhash_signatures)."""
+    h_df = docs.select(
+        "doc_id", F.expr(_simhash_token_hashes(text_col)).alias("_th")
+    )
+    return h_df.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
+            "if(aggregate(_th, cast(0 as bigint), "
+            "(a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0, "
+            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+        ).alias("simhash"),
+    )
