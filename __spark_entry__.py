@@ -194,6 +194,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_extract_regroup": lambda s, d: regroup_blocks(
             explode_blocks(segment_pages(_synth_pages_df(s)))
         ).orderBy("url"),
+        # S5 result.txt analogue: one TSV line per kept block
+        # (pipeline/file_utils.py:48-51 wrote "bbox\ttext"; here
+        # "span_start\tspan_end\ttext")
+        "x_tsv_lines": lambda s, d: explode_blocks(
+            segment_pages(_synth_pages_df(s))
+        )
+        .filter(F.col("is_content"))
+        .select(
+            "url",
+            "block_idx",
+            F.concat_ws(
+                "\t",
+                F.col("span_start").cast("string"),
+                F.col("span_end").cast("string"),
+                F.col("block_text"),
+            ).alias("tsv_line"),
+        )
+        .orderBy("url", "block_idx"),
     }
 
 
