@@ -116,6 +116,39 @@ def test_bucket_batch_exact_slice_and_remainder(spark, tmp_path):
     assert items1 == [f"a{i:03d}" for i in range(10, 20)]
 
 
+def test_bucket_batch_timeout_flushes_remainder(spark, tmp_path):
+    """The time half of the hybrid trigger (B7): 7 items < max_batch_size
+    sit in state until the processing-time timeout fires (via Spark's
+    no-data micro-batches) and flush with reason='timeout'."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", f"a{i}") for i in range(7)], "key string, item string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("key string, item string").parquet(src)
+    q = (
+        bucket_batch(stream, max_batch_size=10, wait_timeout_ms=3000)
+        .writeStream.format("memory")
+        .queryName("bucket_timeout_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and not rows:
+            assert q.exception() is None, q.exception()
+            rows = spark.table("bucket_timeout_out").collect()
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["reason"] == "timeout"
+    assert r["items"] == [f"a{i}" for i in range(7)]
+
+
 def test_window_counts_batch_semantics(spark, pages_df):
     """Watermarked windowed agg runs in batch mode and totals match."""
     wc = stream_window_counts(pages_df, window="30 days", watermark="1 hour")
