@@ -1,0 +1,125 @@
+"""Command-line entry points — the rebuild of the reference's user-facing
+API surface (pipeline/app.py: POST /ocr, /batch_ocr, GET /metrics).
+
+A service endpoint taking one document at a time is the wrong shape for a
+10^12-doc corpus; the equivalent operations here are:
+
+    /ocr (one doc)     →  `extract` on a table with one row, or the pure
+                          kernel: ocr_pipeline_spark.kernels.extract_document
+    /batch_ocr         →  `extract` (cross-doc batching is the Arrow batch)
+    /batch_ocr streaming→ `stream` (size/time/drain triggers)
+    /metrics           →  per-stage docs/sec JSON lines on stdout
+    load_test.py       →  `synth` + `extract` (or bench.py)
+
+Usage (also via spark-submit — the module is import-safe):
+
+    python -m ocr_pipeline_spark.cli synth   --out /tmp/pages -n 10000
+    python -m ocr_pipeline_spark.cli extract --input /tmp/pages \
+        --out /tmp/extracted --manifest /tmp/manifests
+    python -m ocr_pipeline_spark.cli stream  --input /tmp/pages \
+        --out /tmp/extracted --checkpoint /tmp/ckpt --available-now
+    python -m ocr_pipeline_spark.cli warc    --input 'crawl/*.warc.gz' \
+        --out /tmp/pages
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .session import get_spark
+
+
+def _cmd_synth(args) -> None:
+    from .sources.synth_pages import write_pages_parquet
+
+    spark = get_spark("cli-synth", cores=args.cores)
+    write_pages_parquet(spark, args.out, args.n, seed=args.seed)
+    print(f"wrote {args.n} pages to {args.out}")
+
+
+def _cmd_extract(args) -> None:
+    from .plans.extract_job import run_extraction
+
+    spark = get_spark("cli-extract", cores=args.cores)
+    pages = spark.read.parquet(args.input)
+    run_id = run_extraction(
+        spark,
+        pages,
+        args.out,
+        args.manifest,
+        n_buckets=args.buckets,
+        salting=not args.no_salting,
+    )
+    print(f"run_id={run_id}")
+
+
+def _cmd_stream(args) -> None:
+    from .streaming import start_extract_stream
+
+    spark = get_spark("cli-stream", cores=args.cores)
+    q = start_extract_stream(
+        spark,
+        args.input,
+        args.out,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        processing_time=args.processing_time,
+        available_now=args.available_now,
+    )
+    q.awaitTermination(args.timeout)
+    if q.isActive:
+        q.stop()
+
+
+def _cmd_warc(args) -> None:
+    from .sources.warc import read_warc
+
+    spark = get_spark("cli-warc", cores=args.cores)
+    read_warc(spark, args.input).write.mode(args.mode).parquet(args.out)
+    print(f"wrote pages table to {args.out}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="ocr_pipeline_spark")
+    ap.add_argument("--cores", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth", help="write a deterministic pages table")
+    p.add_argument("--out", required=True)
+    p.add_argument("-n", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=_cmd_synth)
+
+    p = sub.add_parser("extract", help="run/resume the extraction job")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--no-salting", action="store_true")
+    p.set_defaults(fn=_cmd_extract)
+
+    p = sub.add_parser("stream", help="streaming extraction")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--processing-time", default=None)
+    p.add_argument("--available-now", action="store_true")
+    p.add_argument("--timeout", type=int, default=3600)
+    p.set_defaults(fn=_cmd_stream)
+
+    p = sub.add_parser("warc", help="ingest WARC archives into a pages table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", default="overwrite")
+    p.set_defaults(fn=_cmd_warc)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""CLI surface: parser wiring + in-process subcommand runs (each command
+reuses the session via getOrCreate, so the test fixture's Spark serves)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_pipeline_spark.cli import build_parser, main
+
+
+def test_parser_subcommands():
+    ap = build_parser()
+    for argv in (
+        ["synth", "--out", "/tmp/x"],
+        ["extract", "--input", "a", "--out", "b", "--manifest", "c"],
+        ["stream", "--input", "a", "--out", "b", "--checkpoint", "c"],
+        ["warc", "--input", "a", "--out", "b"],
+    ):
+        args = ap.parse_args(argv)
+        assert callable(args.fn)
+    with pytest.raises(SystemExit):
+        ap.parse_args(["extract"])  # missing required args
+
+
+def test_synth_then_extract_roundtrip(spark, tmp_path, capfd):
+    pages = str(tmp_path / "pages")
+    main(["synth", "--out", pages, "-n", "120"])
+    main(
+        [
+            "extract",
+            "--input", pages,
+            "--out", str(tmp_path / "out"),
+            "--manifest", str(tmp_path / "man"),
+            "--buckets", "4",
+        ]
+    )
+    out = capfd.readouterr().out
+    assert "run_id=" in out and '"stage": "extract"' in out
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 120
+    assert got.filter(F.length("text") > 0).count() > 80
