@@ -145,9 +145,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fp_rolling": lambda s, d: _t(s, d, "documents").select(
             "doc_id", rolling_hash(F.col("text")).alias("rhash")
         ),
-        "fp_winnow": lambda s, d: winnow_fingerprints(
-            _t(s, d, "documents")
-        ).select("doc_id", F.explode("fingerprints").alias("fp")),
+        # explode_outer, NOT explode: plain explode triggers Catalyst's
+        # InferFiltersFromGenerate, which pushes a size(<full winnow
+        # tree>)>0 filter below the staged projections — re-inlining the
+        # gram hashing into every window slice (measured 100× slower).
+        # The arrays are never empty, so rows are identical.
+        "fp_winnow": lambda s, d: winnow_fingerprints(_t(s, d, "documents"))
+        .select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+        .filter(F.col("fp").isNotNull()),
         # -- training-data ops: similarity search --------------------------
         "sim_topk_bruteforce": _sim_topk_bruteforce,
         "sim_near_dup": lambda s, d: cosine_near_dup(_t(s, d, "embeddings")),
