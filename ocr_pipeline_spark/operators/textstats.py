@@ -61,14 +61,30 @@ def word_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(_WORD_RE), 0))
 
 
+def _staged_tokens(
+    docs: DataFrame, text_col: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, _t tokens, _n norm [, extra cols]) as a separate projection
+    — tokenization evaluated once per row regardless of how many stats
+    reference it downstream (no logical CSE in Catalyst; CollapseProject
+    keeps the split for non-cheap multi-referenced producers)."""
+    return docs.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("_t"),
+        norm_text(F.col(text_col)).alias("_n"),
+        *extra,
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc token statistics (A3/A9 analogue: counts per unit)."""
-    t = tokens(F.col(text_col))
-    return docs.select(
+    pre = _staged_tokens(docs, text_col, extra=(text_col,))
+    t = F.col("_t")
+    return pre.select(
         "doc_id",
         F.size(t).alias("ws_tokens"),
         word_count(F.col(text_col)).alias("words"),
-        F.length(norm_text(F.col(text_col))).alias("norm_chars"),
+        F.length(F.col("_n")).alias("norm_chars"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PUNCT_RE), 0)).alias(
             "punct_chars"
         ),
@@ -83,9 +99,10 @@ def quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     mean word length is compared via cross-multiplication (chars vs
     token count) to avoid float division.
     """
-    t = tokens(F.col(text_col))
+    pre = _staged_tokens(docs, text_col)
+    t = F.col("_t")
     n_tok = F.size(t)
-    n_chars = F.length(norm_text(F.col(text_col)))
+    n_chars = F.length(F.col("_n"))
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     len_ok = (n_tok >= F.lit(5)) & (n_tok <= F.lit(100000))
@@ -96,7 +113,7 @@ def quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # ≥1 stopword per 50 tokens: 50*hits >= n_tok
     stop_ok = F.lit(50) * stop_hits >= n_tok
-    return docs.select(
+    return pre.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         stop_hits.alias("stop_hits"),
@@ -112,14 +129,15 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     swaps in per-language stopword lists; the operator shape — vectorized
     membership scan + threshold — is the same). Emits integer evidence and
     the guess, no float ratios."""
-    t = tokens(F.col(text_col))
+    pre = _staged_tokens(docs, text_col)
+    t = F.col("_t")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
     n_tok = F.size(t)
     guess = F.when(F.lit(20) * hits >= n_tok, F.lit("en")).otherwise(
         F.lit("unknown")
     )
-    return docs.select(
+    return pre.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         hits.alias("en_stop_hits"),
