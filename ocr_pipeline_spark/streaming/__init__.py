@@ -5,6 +5,7 @@ streaming primitives."""
 from .stream_extract import (
     read_pages_stream,
     start_extract_stream,
+    stream_dedup,
     stream_window_counts,
 )
 from .bucket_state import bucket_batch
@@ -12,6 +13,7 @@ from .bucket_state import bucket_batch
 __all__ = [
     "read_pages_stream",
     "start_extract_stream",
+    "stream_dedup",
     "stream_window_counts",
     "bucket_batch",
 ]

@@ -31,7 +31,31 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.extraction import extract_pages
 from ..sources.synth_pages import PAGES_SCHEMA
 
-__all__ = ["read_pages_stream", "start_extract_stream", "stream_window_counts"]
+__all__ = [
+    "read_pages_stream",
+    "start_extract_stream",
+    "stream_window_counts",
+    "stream_dedup",
+]
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` — keys
+    older than the watermark are evicted, so state is O(keys per window),
+    not O(all keys ever)). The Common-Crawl shape: recrawls of a url
+    within the window are duplicates; across windows they are new
+    versions. Works on a batch DataFrame too (plain dropDuplicates
+    semantics) — one code path, as with the extraction kernel."""
+    wm = df.withWatermark(ts_col, watermark)
+    if df.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    return wm.dropDuplicates(list(key_cols))
 
 
 def read_pages_stream(

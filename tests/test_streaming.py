@@ -20,6 +20,7 @@ from ocr_pipeline_spark.sources.synth_pages import PAGES_SCHEMA, synth_pages
 from ocr_pipeline_spark.streaming import (
     bucket_batch,
     start_extract_stream,
+    stream_dedup,
     stream_window_counts,
 )
 
@@ -147,6 +148,41 @@ def test_bucket_batch_timeout_flushes_remainder(spark, tmp_path):
     r = rows[0]
     assert r["reason"] == "timeout"
     assert r["items"] == [f"a{i}" for i in range(7)]
+
+
+def test_stream_dedup_drops_recrawls(spark, tmp_path):
+    """Two stream arrivals carrying the same urls → one row per url in
+    the sink (state-backed exact dedup within the watermark)."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [(f"https://d.example/{i}", ts, b"<p>x</p>", None, "en") for i in range(20)]
+    from ocr_pipeline_spark.sources.synth_pages import PAGES_SCHEMA
+
+    for _ in range(2):  # same urls written twice = recrawl
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = spark.table("dedup_out")
+    assert got.count() == 20
+    assert got.select("url").distinct().count() == 20
+
+
+def test_stream_dedup_batch_mode(spark, pages_df):
+    doubled = pages_df.unionByName(pages_df)
+    assert stream_dedup(doubled).count() == pages_df.count()
 
 
 def test_window_counts_batch_semantics(spark, pages_df):
