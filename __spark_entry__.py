@@ -56,6 +56,7 @@ from ocr_pipeline_spark.operators.similarity import (
     ivf_topk,
     _plane_constants,
 )
+from ocr_pipeline_spark.plans.curate_job import curate
 from ocr_pipeline_spark.operators.textstats import (
     STOPWORDS_EN,
     lang_id,
@@ -190,6 +191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": lambda s, d: media_features(_media_df(s)).orderBy(
             "media_id"
         ),
+        # -- curation composite: quality + lang + exact dedup ---------------
+        "cur_exact_keep": lambda s, d: curate(
+            _t(s, d, "documents"), langs=("en",), dedup="exact"
+        ).select("doc_id"),
         # -- streaming operator in batch mode (identical plan) -------------
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
@@ -775,6 +780,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(fps) AS fp FROM m
         """,
         "sim_near_dup": _near_dup_sql(),
+        "cur_exact_keep": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS stop_hits,
+                     substr(md5({_NORM}), 1, 16) AS fp
+              FROM documents),
+            kept AS (
+              SELECT doc_id, fp FROM t
+              WHERE (n_tokens >= 5 AND n_tokens <= 100000)
+                AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens)
+                AND (50 * stop_hits >= n_tokens)
+                AND (20 * stop_hits >= n_tokens)),
+            canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp)
+            SELECT doc_id FROM kept WHERE doc_id IN (SELECT doc_id FROM canon)
+        """,
         "st_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -71,6 +71,17 @@ def _cmd_stream(args) -> None:
         q.stop()
 
 
+def _cmd_curate(args) -> None:
+    from .plans.curate_job import run_curation
+
+    spark = get_spark("cli-curate", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    langs = tuple(args.langs.split(",")) if args.langs else None
+    run_curation(
+        spark, docs, args.out, langs=langs, dedup=args.dedup or None
+    )
+
+
 def _cmd_warc(args) -> None:
     from .sources.warc import read_warc
 
@@ -107,6 +118,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--available-now", action="store_true")
     p.add_argument("--timeout", type=int, default=3600)
     p.set_defaults(fn=_cmd_stream)
+
+    p = sub.add_parser("curate", help="quality-gate + dedup a documents table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--langs", default="en", help="comma list; empty = all")
+    p.add_argument(
+        "--dedup", default="exact", choices=["exact", "minhash", ""]
+    )
+    p.set_defaults(fn=_cmd_curate)
 
     p = sub.add_parser("warc", help="ingest WARC archives into a pages table")
     p.add_argument("--input", required=True)

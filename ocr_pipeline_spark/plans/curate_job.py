@@ -1,0 +1,97 @@
+"""Corpus curation job: documents → quality-gated, deduplicated corpus.
+
+The training-data counterpart of extract_job: once pages are extracted
+(url → text), a 100 TB corpus is curated before training — quality
+gates (Gopher/C4-style), language filtering, then duplicate removal.
+This plan composes the operators into one job with explicit shuffle
+accounting:
+
+    docs
+    → quality_flags + lang_id           [narrow: two staged projections]
+    → filter(is_quality & lang allowed) [narrow]
+    → dedup:
+        exact   — groupBy(fingerprint) keeping min doc_id   [1 shuffle]
+        minhash — LSH band join → connected components →
+                  anti-join non-canonical docs              [bounded shuffles,
+                  keys only — never document text]
+    → write parquet + summary metrics
+
+Nothing wide ever carries the text column except the final write: the
+dedup path works on (doc_id, fingerprint/signature) projections and the
+drop list joins back by doc_id — at 10^12 docs the heavy column moves
+exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dup_clusters,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ..operators.textstats import lang_id, quality_flags
+
+__all__ = ["run_curation"]
+
+
+def curate(
+    docs: DataFrame,
+    langs: tuple[str, ...] | None = ("en",),
+    dedup: str | None = "exact",
+) -> DataFrame:
+    """The lazy plan: quality gate + language filter + dedup drop.
+    ``dedup``: None | 'exact' | 'minhash'."""
+    q = quality_flags(docs).select("doc_id", "is_quality")
+    lang = lang_id(docs).select("doc_id", "lang_guess")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("is_quality"))
+    )
+    if langs is not None:
+        kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+    if dedup == "exact":
+        canon = exact_dedup(kept).select(
+            F.col("canonical_doc_id").alias("doc_id")
+        )
+        kept = kept.join(canon, "doc_id", "left_semi")
+    elif dedup == "minhash":
+        pairs = lsh_candidate_pairs(minhash_signatures(kept))
+        clusters = dup_clusters(pairs)
+        drops = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        kept = kept.join(drops, "doc_id", "left_anti")
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode: {dedup}")
+    return kept
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    langs: tuple[str, ...] | None = ("en",),
+    dedup: str | None = "exact",
+) -> dict:
+    """Run curation, write the kept corpus, return a summary dict
+    (counts in/out — the per-stage metrics line of this job)."""
+    n_in = docs.count()
+    kept = curate(docs, langs=langs, dedup=dedup)
+    kept.write.mode("overwrite").parquet(out_path)
+    n_out = spark.read.parquet(out_path).count()
+    summary = {
+        "docs_in": n_in,
+        "docs_kept": n_out,
+        "kept_ratio": round(n_out / n_in, 4) if n_in else 0.0,
+        "dedup": dedup or "none",
+    }
+    print(
+        '{"stage": "curate", "docs_in": %d, "docs_kept": %d, "dedup": "%s"}'
+        % (n_in, n_out, dedup or "none")
+    )
+    return summary
