@@ -35,7 +35,23 @@ from ..operators.dedup import (
 )
 from ..operators.textstats import lang_id, quality_flags
 
-__all__ = ["run_curation"]
+__all__ = ["extracted_as_documents", "curate", "run_curation"]
+
+
+def extracted_as_documents(extracted: DataFrame) -> DataFrame:
+    """Bridge the extraction output (url, text, …) into the documents
+    shape curation expects: doc_id = xxhash64(url) (deterministic,
+    collision-safe at 10^12 for a 64-bit space caveat noted), error rows
+    dropped. Chains extract_job → curate_job without a second scan of
+    the pages table."""
+    return (
+        extracted.filter(F.col("error").isNull())
+        .select(
+            F.xxhash64(F.col("url")).alias("doc_id"),
+            F.col("url"),
+            F.col("text"),
+        )
+    )
 
 
 def curate(
