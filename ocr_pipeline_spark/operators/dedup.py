@@ -324,31 +324,36 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def simhash60(col_sql: str) -> Column:
-    """60-bit SimHash of whitespace tokens (``col_sql`` is a SQL expression
-    naming the text column OR a precomputed token-hash array column —
-    built with F.expr because PySpark's shiftright/shiftleft wrappers only
-    take literal shift amounts).
-
-    Token hash: first 15 hex chars of md5 → 60-bit int (engine-portable:
-    DuckDB ('0x'||substr(md5(t),1,15))::BIGINT). Each bit is the sign of
-    the ±1 vote sum across tokens; ties (vote 0) count as 0."""
-    th = _simhash_token_hashes(col_sql)
-    return F.expr(
-        "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
-        f"if(aggregate({th}, cast(0 as bigint), "
-        "(a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0, "
-        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
-    )
-
-
-def _simhash_token_hashes(col_sql: str) -> str:
-    norm = f"trim(regexp_replace(lower({col_sql}), '\\\\s+', ' '))"
+def _simhash_token_hashes(text_col_sql: str) -> str:
+    """SQL fragment: text column → array of 60-bit token hashes (first 15
+    md5 hex chars; engine-portable: DuckDB ('0x'||substr(md5(t),1,15))::BIGINT)."""
+    norm = f"trim(regexp_replace(lower({text_col_sql}), '\\\\s+', ' '))"
     return (
         f"transform(split({norm}, ' '), "
         "t -> cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10)"
         " as bigint))"
     )
+
+
+def _simhash_fold(hashes_sql: str) -> str:
+    """SQL fragment: token-hash array → 60-bit SimHash. Each bit is the
+    sign of the ±1 vote sum across tokens; ties (vote 0) count as 0.
+    Written as F.expr SQL because PySpark's shiftright/shiftleft wrappers
+    only take literal shift amounts."""
+    return (
+        "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
+        f"if(aggregate({hashes_sql}, cast(0 as bigint), "
+        "(a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+
+
+def simhash60(text_col_sql: str) -> Column:
+    """60-bit SimHash of whitespace tokens; ``text_col_sql`` is a SQL
+    expression naming the TEXT column. One-shot form — the full tokenize+
+    md5 tree sits inside the per-bit fold, so prefer simhash_signatures
+    (staged) for anything beyond a single expression."""
+    return F.expr(_simhash_fold(_simhash_token_hashes(text_col_sql)))
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -360,11 +365,5 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.expr(_simhash_token_hashes(text_col)).alias("_th")
     )
     return h_df.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 59), cast(0 as bigint), (acc, i) -> acc + "
-            "if(aggregate(_th, cast(0 as bigint), "
-            "(a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0, "
-            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
-        ).alias("simhash"),
+        "doc_id", F.expr(_simhash_fold("_th")).alias("simhash")
     )

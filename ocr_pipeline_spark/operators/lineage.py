@@ -98,6 +98,8 @@ def write_extracted_with_manifest(
     (it describes what is actually on disk).
     """
     spark = extracted_bucketed.sparkSession
+    if run_buckets is not None and not run_buckets:
+        return  # nothing pending (fully-resumed or empty input): no-op
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     extracted_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
         out_path

@@ -58,6 +58,14 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _sim4(a: Column, b: Column) -> Column:
+    """round(cosine, 4) with NaN→0: a zero embedding makes 0.0/0.0 = NaN,
+    and NaN sorts ABOVE real values under desc — it would win every
+    top-k. nanvl wraps the single computed value (no fold duplication,
+    unlike a when/otherwise on the denominator)."""
+    return F.nanvl(F.round(cosine(a, b), 4), F.lit(0.0))
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -79,7 +87,7 @@ def brute_force_topk(
     sims = emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+        _sim4(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -112,19 +120,26 @@ def brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    out_schema = "query_id long, rank int, neighbor_id long, cos_sim double"
     qrows = emb.filter(F.col(id_col).isin(query_ids)).select(
         id_col, vec_col
     ).collect()
+    if not qrows:  # no matching query ids: empty result, same schema
+        return emb.sparkSession.createDataFrame([], out_schema)
     Q = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     def fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # zero-norm guard: a zero vector gets cos 0 everywhere, not
+            # NaN (Spark sorts NaN above real values under desc)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+            )
             S = Vn @ Qn.T
             n = len(pdf)
             out = pd.DataFrame(
@@ -258,7 +273,7 @@ def ivf_topk(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+        _sim4(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -302,9 +317,7 @@ def cosine_near_dup(
     ).select(
         F.col(f"a.{id_col}").alias("vec_a"),
         F.col(f"b.{id_col}").alias("vec_b"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias(
-            "cos_sim"
-        ),
+        _sim4(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
 
@@ -363,7 +376,7 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col(vec_col)), 4).alias("cos_sim"),
+            _sim4(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

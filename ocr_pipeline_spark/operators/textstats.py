@@ -26,6 +26,7 @@ __all__ = [
     "token_stats",
     "quality_flags",
     "lang_id",
+    "annotate_quality",
     "fingerprint",
     "rolling_hash",
     "winnow_fingerprints",
@@ -141,6 +142,39 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         hits.alias("en_stop_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+def annotate_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All original columns + (n_tokens, is_quality, lang_guess) computed
+    as NARROW columns (staged projections, zero shuffle) — the curation
+    path's annotator. Same predicates as quality_flags/lang_id; those
+    stay as standalone per-doc stat tables, this one rides along with
+    the full row so the heavy text column never crosses an exchange."""
+    pre = docs.select(
+        *docs.columns,
+        tokens(F.col(text_col)).alias("_t"),
+        norm_text(F.col(text_col)).alias("_n"),
+    )
+    t = F.col("_t")
+    n_tok = F.size(t)
+    n_chars = F.length(F.col("_n"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    len_ok = (n_tok >= F.lit(5)) & (n_tok <= F.lit(100000))
+    n_word_chars = n_chars - (n_tok - F.lit(1))
+    wlen_ok = (n_word_chars >= F.lit(2) * n_tok) & (
+        n_word_chars <= F.lit(12) * n_tok
+    )
+    stop_ok = F.lit(50) * stop_hits >= n_tok
+    guess = F.when(F.lit(20) * stop_hits >= n_tok, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+    return pre.select(
+        *docs.columns,
+        n_tok.alias("n_tokens"),
+        (len_ok & wlen_ok & stop_ok).alias("is_quality"),
         guess.alias("lang_guess"),
     )
 

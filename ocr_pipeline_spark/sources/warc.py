@@ -62,7 +62,9 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             break
         if data[pos : pos + 5] != b"WARC/":
             break  # malformed tail: stop rather than misparse
-        hdr_end = data.index(_CRLF + _CRLF, pos)
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            break  # truncated record header (cut-off download): stop
         headers = _parse_headers(data[pos:hdr_end])
         length = int(headers.get(b"content-length", b"0"))
         body = data[hdr_end + 4 : hdr_end + 4 + length]
@@ -77,9 +79,15 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             ).replace(tzinfo=None)
         except ValueError:
             ts = None
-        # strip the http header block if the payload carries one
-        if body[:5] == b"HTTP/" and _CRLF + _CRLF in body:
-            body = body.split(_CRLF + _CRLF, 1)[1]
+        # strip the http header block if the payload carries one; only
+        # 2xx responses become pages (404/5xx/redirect bodies are not
+        # corpus text)
+        if body[:5] == b"HTTP/":
+            parts = body.split(_CRLF, 1)[0].split()
+            if len(parts) < 2 or parts[1][:1] != b"2":
+                continue
+            if _CRLF + _CRLF in body:
+                body = body.split(_CRLF + _CRLF, 1)[1]
         yield {"url": url, "warc_ts": ts, "payload": body}
 
 

@@ -64,17 +64,27 @@ def bucket_batch(
         (k,) = key
         if state.hasTimedOut:
             pending, seq = state.get
-            state.remove()
-            if pending:
-                yield pd.DataFrame(
-                    {
-                        "key": [k],
-                        "batch_seq": [seq],
-                        "items": [list(pending)],
-                        "n_items": [len(pending)],
-                        "reason": ["timeout"],
-                    }
-                )
+            if not pending:
+                # second idle timeout with nothing buffered: now safe to
+                # drop the state entry entirely (no emission)
+                state.remove()
+                return
+            # flush the remainder but KEEP the state row with the
+            # advanced sequence — (key, batch_seq) identities must never
+            # repeat for downstream dedup/ordering; the empty entry is
+            # removed at the next idle timeout
+            state.update(([], seq + 1))
+            if wait_timeout_ms is not None:
+                state.setTimeoutDuration(wait_timeout_ms)
+            yield pd.DataFrame(
+                {
+                    "key": [k],
+                    "batch_seq": [seq],
+                    "items": [list(pending)],
+                    "n_items": [len(pending)],
+                    "reason": ["timeout"],
+                }
+            )
             return
         pending, seq = state.get if state.exists else ([], 0)
         pending = list(pending)

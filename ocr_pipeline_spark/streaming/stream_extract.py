@@ -50,12 +50,27 @@ def stream_dedup(
     older than the watermark are evicted, so state is O(keys per window),
     not O(all keys ever)). The Common-Crawl shape: recrawls of a url
     within the window are duplicates; across windows they are new
-    versions. Works on a batch DataFrame too (plain dropDuplicates
-    semantics) — one code path, as with the extraction kernel."""
-    wm = df.withWatermark(ts_col, watermark)
+    versions. Works on a batch DataFrame too — there "first" is the
+    deterministic earliest-``ts_col`` row (content-hash tie-break), never
+    partition-order-dependent."""
     if df.isStreaming:
-        return wm.dropDuplicatesWithinWatermark(list(key_cols))
-    return wm.dropDuplicates(list(key_cols))
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    # batch path: deterministic "first" = earliest event time, ties broken
+    # by a content hash of the remaining columns (dropDuplicates alone
+    # keeps an arbitrary partition-order-dependent row)
+    from pyspark.sql import Window
+
+    other = [c for c in df.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.xxhash64(*other).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def read_pages_stream(

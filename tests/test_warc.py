@@ -57,3 +57,28 @@ def test_spark_read_and_extract(spark, tmp_path):
     out = {r["url"]: r for r in extract_pages(pages).collect()}
     assert "first page content paragraph" in out["https://a.example/1"]["text"]
     assert out["https://c.example/3"]["kind"] == "pdf"
+
+
+def test_non_200_responses_skipped():
+    recs = [
+        ("https://a.example/ok", "2024-03-01T12:00:00Z", b"<p>kept page</p>"),
+    ]
+    blob = write_warc_bytes(recs)
+    import gzip
+
+    raw = gzip.decompress(blob)
+    # splice in a 404 response record
+    notfound = raw.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 404 Not Found").replace(
+        b"/ok", b"/nf"
+    )
+    out = list(parse_warc_bytes(raw + notfound))
+    assert [r["url"] for r in out] == ["https://a.example/ok"]
+
+
+def test_truncated_header_stops_gracefully():
+    import gzip
+
+    blob = gzip.decompress(write_warc_bytes(RECORDS[:1]))
+    truncated = blob + b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target"
+    recs = list(parse_warc_bytes(truncated))
+    assert len(recs) == 1  # complete record parsed, truncated tail dropped
