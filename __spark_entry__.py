@@ -56,6 +56,11 @@ from ocr_pipeline_spark.operators.similarity import (
     ivf_topk,
     _plane_constants,
 )
+from ocr_pipeline_spark.operators.temporal import (
+    asof_join,
+    interval_join_count,
+    sessionize,
+)
 from ocr_pipeline_spark.plans.curate_job import curate
 from ocr_pipeline_spark.operators.textstats import (
     STOPWORDS_EN,
@@ -199,6 +204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
         ),
+        # -- temporal: as-of join / interval join / session windows --------
+        "t_asof_last_click": _t_asof_last_click,
+        "t_interval_clicks": _t_interval_clicks,
+        "t_sessions": _t_sessions,
         # -- metrics rollup / window frame / json projection / set op ------
         "a6_metrics_rollup": _a6_metrics_rollup,
         "w_moving_avg": _w_moving_avg,
@@ -511,6 +520,41 @@ def _p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", k.alias("k")).filter(F.col("k") >= 50)
 
 
+def _t_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the value of that user's most
+    recent click at or before the error (null if none)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(errors, clicks, ["user_id"], "ts", ["value"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # null-free output: sorting mixed None/float breaks row compare
+        F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("asof_value"),
+    )
+
+
+def _t_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks by the same user within 1 hour after each
+    error."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return interval_join_count(errors, clicks, ["user_id"], "ts", "1 hour")
+
+
+def _t_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap)."""
+    return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
 def _set_view_not_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: users who viewed but never errored (EXCEPT)."""
     ev = _t(spark, sf_dir, "events")
@@ -800,6 +844,38 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    event_type, count(*) AS n_docs
             FROM events GROUP BY 1, 2, 3
+        """,
+        "t_asof_last_click": """
+            SELECT e.event_id, e.user_id, e.ts, coalesce(c.value, -1.0) AS asof_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "t_interval_clicks": """
+            SELECT e.event_id, e.user_id, e.ts, count(c.ts) AS n_in_window
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND c.ts > e.ts
+             AND c.ts <= e.ts + INTERVAL '1 hour'
+            GROUP BY e.event_id, e.user_id, e.ts
+        """,
+        "t_sessions": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "a6_metrics_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
