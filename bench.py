@@ -41,6 +41,9 @@ HEADLINE = [
     "dd_minhash",
     "dd_lsh_pairs",
     "sim_topk_bruteforce",
+    "t_asof_last_click",
+    "t_sessions",
+    "cur_exact_keep",
     # extraction flagship (synthesized pages parquet, see _pages_path)
     "x_extract_fused",
 ]
