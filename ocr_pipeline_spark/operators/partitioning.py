@@ -5,8 +5,12 @@ skewed *joins/aggregations*; a skewed ``repartition`` feeding a
 ``mapInPandas`` kernel is invisible to it, so salting is explicit job-level
 logic:
 
-1. a cheap pre-pass aggregates payload bytes per domain (scan reads only
-   (url, length(html)) — Catalyst prunes the payload column to its length);
+1. a cheap pre-pass aggregates ROW counts per domain — it scans the url
+   column only. (Counting payload *bytes* would be more precise but
+   ``length(html)`` forces reading the full binary column — a whole-corpus
+   IO pass at 100 TB. Row count over a pruned scan is the right
+   cost/precision trade; a deploy that keeps an ``n_bytes`` column at
+   ingest can pass ``weight_col`` to weight by size for free.);
 2. domains above ``hot_share`` of total bytes get NSALT-way salt derived
    from hash(url) — deterministic, so per-url completeness is preserved
    (every url still lands on exactly one partition);
@@ -32,21 +36,30 @@ def domain_of(url_col):
 
 
 def find_hot_domains(
-    pages: DataFrame, hot_share: float = 0.05, max_hot: int = 64
+    pages: DataFrame,
+    hot_share: float = 0.05,
+    max_hot: int = 64,
+    weight_col: str | None = None,
 ) -> list[str]:
-    """Domains holding more than ``hot_share`` of total payload bytes."""
-    stats = (
-        pages.select(domain_of(F.col("url")).alias("domain"),
-                     F.length("html").alias("nbytes"))
-        .groupBy("domain")
-        .agg(F.sum("nbytes").alias("nbytes"))
+    """Domains holding more than ``hot_share`` of total weight.
+
+    Weight = row count by default (url-only pruned scan — the 100 TB-safe
+    choice); pass ``weight_col`` (e.g. a precomputed n_bytes column) to
+    weight by payload size instead."""
+    weight = (
+        F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
     )
-    total = stats.agg(F.sum("nbytes")).first()[0] or 0
+    stats = (
+        pages.select(domain_of(F.col("url")).alias("domain"), weight.alias("w"))
+        .groupBy("domain")
+        .agg(F.sum("w").alias("w"))
+    )
+    total = stats.agg(F.sum("w")).first()[0] or 0
     if not total:
         return []
     rows = (
-        stats.filter(F.col("nbytes") > hot_share * total)
-        .orderBy(F.desc("nbytes"))
+        stats.filter(F.col("w") > hot_share * total)
+        .orderBy(F.desc("w"))
         .limit(max_hot)
         .collect()
     )

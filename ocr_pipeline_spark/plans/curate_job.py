@@ -67,9 +67,11 @@ def curate(
     ``dedup``: None | 'exact' | 'minhash'.
 
     The quality/lang flags are computed as NARROW columns on the docs
-    rows (annotate_quality — staged projections, zero shuffle); the text
-    column never crosses an exchange before the dedup drop-list joins,
-    which move doc_id keys only.
+    rows (annotate_quality — staged projections, zero shuffle). Dedup
+    shuffles: signature/pair/cluster computation moves keys only; the
+    final keep-join shuffles the kept rows once (text included) unless
+    AQE broadcasts the drop list — at web dup rates the list is the far
+    smaller side. Text therefore crosses at most one exchange.
 
     Minhash mode verifies every LSH candidate pair with exact shingle
     Jaccard ≥ ``jaccard_threshold`` before clustering — band collisions

@@ -73,6 +73,38 @@ def test_topk_broadcasts_queries(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_is_single_shuffle(spark):
+    """The union-window as-of construction: exactly one exchange (on the
+    key), never a nested-loop join."""
+    df = entrymod.queries()["t_asof_last_click"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # no join operator at all — window only
+
+
+def test_hot_domain_prepass_reads_urls_only(spark, tmp_path):
+    """find_hot_domains' aggregate scans the url column, not the payload
+    (length(html) would force whole-corpus IO at 100 TB)."""
+    from ocr_pipeline_spark.operators.partitioning import domain_of
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [(f"https://d{i%3}.example/{i}", b"x" * 100) for i in range(50)],
+        "url string, html binary",
+    ).write.parquet(path)
+    pages = spark.read.parquet(path)
+    stats = (
+        pages.select(domain_of(F.col("url")).alias("domain"),
+                     F.lit(1).cast("long").alias("w"))
+        .groupBy("domain").agg(F.sum("w"))
+    )
+    scan = [ln for ln in _plan(stats).splitlines() if "FileScan" in ln][0]
+    assert "url" in scan and "html" not in scan
+
+
 @pytest.mark.parametrize(
     "name", ["q1_pricing_summary", "a5_error_rate", "j3_regroup_order"]
 )
