@@ -119,10 +119,11 @@ def run_scaling(n_small: int, sf: float, n_pages: int | None) -> dict:
 
     n_big = 4 * n_small
     if n_pages is None:
-        # 16× the headline corpus: fixed costs (JVM task dispatch, Python
+        # 32× the headline corpus: fixed costs (JVM task dispatch, Python
         # worker spin-up) must amortize or the efficiency number measures
-        # overhead, not the job
-        n_pages = 16 * _pages_path(sf)[1]
+        # overhead, not the job — resized upward when the scanner rewrite
+        # doubled kernel throughput
+        n_pages = 32 * _pages_path(sf)[1]
     results = {}
     # 8 input files per big-level core: the timed job is a pure narrow
     # scan→map (the 100 TB shape — input pre-bucketed, no shuffle), so
