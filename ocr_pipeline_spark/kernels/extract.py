@@ -38,10 +38,25 @@ class ExtractResult:
     error: str | None = None
 
 
-def extract_document(payload: bytes | None) -> ExtractResult:
-    """bytes → ExtractResult. Total function: never raises."""
+#: Payload cap (Common-Crawl semantics: WARC truncates records at a fixed
+#: limit; 4 MiB > CC's 1 MiB). Bounds worst-case memory of one Arrow batch:
+#: 128 rows × 4 MiB = 512 MiB ceiling per in-flight batch per worker.
+DEFAULT_MAX_PAYLOAD_BYTES = 4 << 20
+
+
+def extract_document(
+    payload: bytes | None,
+    max_payload_bytes: int | None = DEFAULT_MAX_PAYLOAD_BYTES,
+) -> ExtractResult:
+    """bytes → ExtractResult. Total function: never raises.
+
+    Payloads over ``max_payload_bytes`` are truncated (deterministic
+    prefix — the same contract WARC applies at capture time), so a
+    pathological page can never blow a worker; pass None to disable."""
     if payload is None or len(payload) == 0:
         return ExtractResult(error="empty payload", text_sha256=sha256_text(""))
+    if max_payload_bytes is not None and len(payload) > max_payload_bytes:
+        payload = payload[:max_payload_bytes]
     try:
         if payload[:5] == b"%PDF-":
             blocks = parse_pdf_blocks(payload)

@@ -96,3 +96,14 @@ def test_materialize_deterministic_separator():
     blocks = segment_html(doc)
     text = materialize_text(blocks, [True, True])
     assert text == "one one one one one\n\ntwo two two two two"
+
+
+def test_payload_cap_truncates_deterministically():
+    from ocr_pipeline_spark.kernels.extract import extract_document
+
+    big = (b"<p>" + b"word " * 2000 + b"</p>") * 50
+    a = extract_document(big, max_payload_bytes=10_000)
+    b = extract_document(big[:10_000], max_payload_bytes=None)
+    assert a.text == b.text and a.text_sha256 == b.text_sha256
+    full = extract_document(big, max_payload_bytes=None)
+    assert len(full.text) > len(a.text)
