@@ -82,6 +82,7 @@ def write_extracted_with_manifest(
     manifest_path: str,
     run_id: str,
     run_buckets: list[int] | None = None,
+    compact: bool = True,
 ) -> None:
     """Commit extracted rows + their lineage manifest, bucket-partitioned.
 
@@ -100,6 +101,13 @@ def write_extracted_with_manifest(
     spark = extracted_bucketed.sparkSession
     if run_buckets is not None and not run_buckets:
         return  # nothing pending (fully-resumed or empty input): no-op
+    if compact:
+        # small-files control: partitionBy writes one file per
+        # (task, bucket) pair — from P salted tasks that is up to
+        # P × buckets shards per run. Repartitioning on bucket first
+        # yields ONE file per bucket per run; the shuffle moves extracted
+        # text (~10× smaller than the page payloads that already moved).
+        extracted_bucketed = extracted_bucketed.repartition(F.col("bucket"))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     extracted_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
         out_path

@@ -77,3 +77,14 @@ def test_bytes_hash_is_order_independent(spark, pages_df, tmp_path):
     h2 = {r["bucket"]: r["bytes_hash"]
           for r in spark.read.parquet(man2).collect()}
     assert h1 == h2
+
+
+def test_compaction_one_file_per_bucket(spark, pages_df, tmp_path):
+    import glob
+
+    out = str(tmp_path / "extracted")
+    run_extraction(spark, pages_df, out, str(tmp_path / "man"),
+                   run_id="c1", n_buckets=4, num_partitions=8)
+    for b in range(4):
+        files = glob.glob(f"{out}/bucket={b}/*.parquet")
+        assert len(files) == 1, (b, files)
