@@ -9,8 +9,10 @@ from .stream_extract import (
     stream_window_counts,
 )
 from .bucket_state import bucket_batch
+from .listener import ThroughputListener
 
 __all__ = [
+    "ThroughputListener",
     "read_pages_stream",
     "start_extract_stream",
     "stream_dedup",
