@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_sessions": _t_sessions,
         # -- metrics rollup / window frame / json projection / set op ------
         "a6_metrics_rollup": _a6_metrics_rollup,
+        "a_percentiles": _a_percentiles,
         "w_moving_avg": _w_moving_avg,
         "p_json_extract": _p_json_extract,
         "set_view_not_error": _set_view_not_error,
@@ -491,6 +492,18 @@ def _a6_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value",
             "max_value",
         )
+    )
+
+
+def _a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per stage (timer-summary analogue —
+    M3; Spark `percentile` ≡ DuckDB `quantile_cont` bit-for-bit on the
+    same doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -882,6 +895,13 @@ def oracle_sql() -> dict[str, str]:
                    cast(round(sum(cast(value as decimal(18,2))), 2) as double) AS sum_value,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "a_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
         "w_moving_avg": """
             SELECT event_id, user_id,
