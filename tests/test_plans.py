@@ -84,6 +84,14 @@ def test_asof_join_is_single_shuffle(spark):
     assert "Join" not in plan  # no join operator at all — window only
 
 
+def test_interval_join_uses_equi_keys(spark):
+    """Range residual rides an equi-join on the keys — no nested loop."""
+    df = entrymod.queries()["t_interval_clicks"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hot_domain_prepass_reads_urls_only(spark, tmp_path):
     """find_hot_domains' aggregate scans the url column, not the payload
     (length(html) would force whole-corpus IO at 100 TB)."""
