@@ -433,8 +433,12 @@ def _a1_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: fan-out explode + cross-doc pooling aggregate."""
     docs = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # explode_outer: plain explode makes InferFiltersFromGenerate push a
+    # size(split(norm))>0 filter below the projection, re-evaluating the
+    # normalize+split per row a second time (split is never empty anyway)
     return (
-        docs.select(F.explode(F.split(norm, " ")).alias("token"))
+        docs.select(F.explode_outer(F.split(norm, " ")).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 20)
@@ -447,11 +451,17 @@ def _dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_jaccard_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed candidate pairs (sig_0 mod 16) + exact Jaccard —
-    nonempty candidate demo on unique-text corpora."""
+    """Bucketed candidate pairs (sig_0 mod 256) + exact Jaccard —
+    nonempty candidate demo on unique-text corpora. Candidate count is
+    N²/buckets; 256 keeps the verify stage linear-ish at bench scale."""
     docs = _t(spark, sf_dir, "documents")
+    # coalesce → non-nullable join key: otherwise the join's inferred
+    # isnotnull(bucket) filter is pushed below the staged minhash
+    # projections, re-inlining the whole signature tree into a Filter on
+    # BOTH self-join sides (measured ~10× slower)
     sigs = minhash_signatures(docs).select(
-        "doc_id", (F.col("sig_0") % 16).alias("bucket")
+        "doc_id",
+        F.coalesce(F.col("sig_0") % 256, F.lit(-1)).alias("bucket"),
     )
     a = sigs.alias("a")
     b = sigs.alias("b")
@@ -805,7 +815,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-            sigs AS (SELECT doc_id, {sig(0)} % 16 AS bucket FROM documents),
+            sigs AS (SELECT doc_id, {sig(0)} % 256 AS bucket FROM documents),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)

@@ -251,7 +251,8 @@ def ivf_topk(
     corpus = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        F.array_max(scores)["cell"].alias("cell"),
+        # coalesce: non-nullable join key (see cosine_near_dup note)
+        F.coalesce(F.array_max(scores)["cell"], F.lit(-1)).alias("cell"),
     )
     top_cells = F.slice(
         F.reverse(F.array_sort(scores)), 1, n_probe
@@ -304,10 +305,15 @@ def cosine_near_dup(
     n_planes exactly as in ann_topk (single-table here: near-dup pairs
     are overwhelmingly same-bucket because near-parallel vectors agree on
     most hyperplane signs)."""
+    # coalesce → non-nullable key: stops the join's inferred isnotnull
+    # filter from being pushed below the projection with the whole
+    # hyperplane expression inlined (evaluated twice per row otherwise)
     keyed = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim, seed).alias("bucket"),
+        F.coalesce(
+            hyperplane_bucket(F.col(vec_col), n_planes, dim, seed), F.lit(-1)
+        ).alias("bucket"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(

@@ -81,3 +81,13 @@ def test_signatures_independent_of_partitioning(spark, corpus):
     a = sorted(minhash_signatures(corpus.repartition(1)).collect())
     b = sorted(minhash_signatures(corpus.repartition(7)).collect())
     assert a == b
+
+
+def test_simhash_numpy_matches_expression_definition(spark, corpus):
+    from ocr_pipeline_spark.operators.dedup import simhash_signatures_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (corpus, docs):
+        a = sorted(map(tuple, simhash_signatures(df).collect()))
+        b = sorted(map(tuple, simhash_signatures_expr(df).collect()))
+        assert a == b
