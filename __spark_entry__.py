@@ -56,6 +56,7 @@ from ocr_pipeline_spark.operators.similarity import (
     ivf_topk,
     _plane_constants,
 )
+from ocr_pipeline_spark.operators.splits import hash_split
 from ocr_pipeline_spark.operators.temporal import (
     asof_join,
     interval_join_count,
@@ -203,6 +204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- streaming operator in batch mode (identical plan) -------------
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
+        ),
+        # -- deterministic train/valid/test split ---------------------------
+        "sp_hash_split": lambda s, d: hash_split(
+            _t(s, d, "documents").select("doc_id"),
+            "doc_id",
+            {"train": 0.8, "valid": 0.1, "test": 0.1},
         ),
         # -- temporal: as-of join / interval join / session windows --------
         "t_asof_last_click": _t_asof_last_click,
@@ -867,6 +874,16 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    event_type, count(*) AS n_docs
             FROM events GROUP BY 1, 2, 3
+        """,
+        "sp_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'valid'
+                        WHEN b < 10000 THEN 'test'
+                        ELSE 'rest' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split0_' || doc_id::VARCHAR), 1, 12))::BIGINT % 10000 AS b
+                  FROM documents)
         """,
         "t_asof_last_click": """
             SELECT e.event_id, e.user_id, e.ts, coalesce(c.value, -1.0) AS asof_value

@@ -1,0 +1,76 @@
+"""Deterministic train/validation/test splits for training-data pipelines.
+
+Requirements a 100 TB corpus split must satisfy (and ``randomSplit``
+does not): (a) stable under reruns, repartitioning, and appends — a
+document's split is a pure function of its identity, never of RNG state
+or row order; (b) leakage-free grouping — all documents from one domain
+(or other group key) land in the same split, so near-duplicates within a
+site cannot straddle train/test.
+
+Mechanics: md5 of the key (engine-portable, mirrored in the DuckDB
+oracle) → first 12 hex chars → int mod 10_000 → compare against
+cumulative per-mille-of-ten thresholds. Pure Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_label", "hash_split", "domain_split"]
+
+_MOD = 10_000
+
+
+def split_label(
+    key: Column,
+    fractions: dict[str, float],
+    seed: str = "split0",
+) -> Column:
+    """Label column: deterministic assignment of ``key`` to a named split
+    with the given fractions (must sum to ≤ 1; remainder → 'rest')."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit(f"{seed}_"), key.cast("string")), "UTF-8")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MOD
+    )
+    expr: Column | None = None
+    acc = 0
+    for name, frac in fractions.items():
+        acc += int(round(frac * _MOD))
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (expr.otherwise("rest") if expr is not None else F.lit("rest")).alias(
+        "split"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "split0",
+) -> DataFrame:
+    """df + 'split' column keyed on the row id."""
+    return df.withColumn("split", split_label(F.col(id_col), fractions, seed))
+
+
+def domain_split(
+    df: DataFrame,
+    url_col: str = "url",
+    fractions: dict[str, float] | None = None,
+    seed: str = "split0",
+) -> DataFrame:
+    """Leakage-free split: keyed on the url's host, so every page of a
+    domain shares a split (near-dups within a site can't straddle
+    train/test)."""
+    fractions = fractions or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return df.withColumn("split", split_label(host, fractions, seed))

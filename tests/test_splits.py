@@ -1,0 +1,41 @@
+"""Deterministic splits: stability, fraction accuracy, leakage-freedom."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_pipeline_spark.operators.partitioning import domain_of
+from ocr_pipeline_spark.operators.splits import domain_split, hash_split
+
+FR = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def test_hash_split_fractions_and_stability(spark):
+    docs = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = hash_split(docs, "doc_id", FR)
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    assert abs(counts["valid"] / 20_000 - 0.1) < 0.01
+    # stability: identical under repartitioning and re-evaluation
+    b = hash_split(docs.repartition(13), "doc_id", FR)
+    assert sorted(a.collect()) == sorted(b.collect())
+    # different seed → different assignment
+    c = hash_split(docs, "doc_id", FR, seed="split1")
+    diff = (
+        a.alias("a")
+        .join(c.alias("c"), "doc_id")
+        .filter(F.col("a.split") != F.col("c.split"))
+        .count()
+    )
+    assert diff > 1000
+
+
+def test_domain_split_no_leakage(spark, pages_df):
+    labeled = domain_split(pages_df)
+    per_domain = (
+        labeled.select(domain_of(F.col("url")).alias("d"), "split")
+        .groupBy("d")
+        .agg(F.countDistinct("split").alias("n"))
+    )
+    assert per_domain.filter(F.col("n") > 1).count() == 0
