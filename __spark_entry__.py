@@ -902,8 +902,10 @@ def oracle_sql() -> dict[str, str]:
         "t_sessions": """
             WITH o AS (
               SELECT user_id, ts,
+                     -- >= not >: Spark session windows [t, t+gap) do NOT
+                     -- merge when the next event lands exactly at t+gap
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                           THEN 1 ELSE 0 END AS brk
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

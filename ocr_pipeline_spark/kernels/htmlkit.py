@@ -32,8 +32,12 @@ Scanner semantics (the spec):
   case-insensitive close tag (suppressed as _SKIP_TAGS anyway);
   ``noscript``/``template`` contents parse normally but their text is
   suppressed via the skip depth;
-- entities: ``&name;`` / ``&#123;`` / ``&#xAB;`` (semicolon required)
-  unescape via html.unescape; malformed ``&…`` is literal text.
+- entities: ``&name[;]`` / ``&#123;`` / ``&#xAB;`` unescape via
+  html.unescape (semicolon-less named forms follow the HTML5 legacy
+  longest-match rules); other ``&…`` is literal text;
+- a ``/`` before the closing ``>`` marks a tag self-closing only when it
+  is not part of an unquoted attribute value (``<a href=https://x/>``
+  is an open tag with value ``https://x/``, as in browsers).
 """
 
 from __future__ import annotations
@@ -111,7 +115,12 @@ _STARTTAG_RE = re.compile(
 _ENDTAG_RE = re.compile(
     r"</\s*([a-zA-Z][a-zA-Z0-9:._-]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
 )
-_ENTITY_RE = re.compile(r"&(?:[a-zA-Z][-.a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);")
+# named entities: semicolon optional (crawl HTML is full of '&nbsp ' —
+# html.unescape applies the HTML5 legacy longest-match rules either way);
+# numeric refs require the semicolon
+_ENTITY_RE = re.compile(
+    r"&(?:[a-zA-Z][-.a-zA-Z0-9]*;?|#[0-9]+;|#[xX][0-9a-fA-F]+;)"
+)
 _RAW_CLOSE = {
     t: re.compile(rf"</\s*{t}\b", re.I) for t in ("script", "style")
 }
@@ -196,21 +205,15 @@ class _BlockState:
         self._parts.append(unescaped)
 
     def starttag(self, tag: str, selfclosing: bool) -> None:
-        if tag in _SKIP_TAGS:
-            if selfclosing:
-                if tag in _BLOCK_TAGS:
-                    self.flush()
-                elif self._span_start is not None:
-                    self._tags_in_block += 1
-                return
-            self._skip_depth += 1
-            self.flush()
-            return
-        if selfclosing:
+        if selfclosing:  # same handling for skip and normal tags
             if tag in _BLOCK_TAGS:
                 self.flush()
             elif self._span_start is not None:
                 self._tags_in_block += 1
+            return
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            self.flush()
             return
         if tag in _BLOCK_TAGS:
             self.flush()
@@ -289,7 +292,13 @@ def segment_html(doc: str) -> list[Block]:
             m = _STARTTAG_RE.match(doc, lt)
             if m:
                 tag = m.group(1).lower()
-                selfclosing = m.group(2).rstrip().endswith("/")
+                attrs = m.group(2).rstrip()
+                # '/' is the self-closing marker only when standalone —
+                # not when it ends an unquoted attribute value
+                # (<a href=https://x/> keeps the slash in the value)
+                selfclosing = attrs.endswith("/") and (
+                    len(attrs) == 1 or attrs[-2] in " \t\n\r\f\"'"
+                )
                 state.starttag(tag, selfclosing)
                 pos = m.end()
                 if tag in _RAW_CLOSE and not selfclosing:

@@ -398,7 +398,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 continue
             sigs = []
             for t in pdf[text_col]:
-                norm = _ws.sub(" ", (t or "").lower()).strip()
+                if t is None:  # NULL text → NULL simhash, as in the
+                    sigs.append(None)  # expression definition / oracle
+                    continue
+                norm = _ws.sub(" ", t.lower()).strip()
                 toks = norm.split(" ")
                 hs = np.array(
                     [

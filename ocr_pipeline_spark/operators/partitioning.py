@@ -11,9 +11,10 @@ logic:
    IO pass at 100 TB. Row count over a pruned scan is the right
    cost/precision trade; a deploy that keeps an ``n_bytes`` column at
    ingest can pass ``weight_col`` to weight by size for free.);
-2. domains above ``hot_share`` of total bytes get NSALT-way salt derived
-   from hash(url) — deterministic, so per-url completeness is preserved
-   (every url still lands on exactly one partition);
+2. domains above ``hot_share`` of total weight (rows by default) get
+   NSALT-way salt derived from hash(url) — deterministic, so per-url
+   completeness is preserved (every url still lands on exactly one
+   partition);
 3. everything else salts to 0, keeping domain locality for the cold tail.
 
 At 10^12 docs the pre-pass is a trivial aggregation; hot_domains is a tiny

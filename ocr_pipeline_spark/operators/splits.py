@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import _token_hash
+
 __all__ = ["split_label", "hash_split", "domain_split"]
 
 _MOD = 10_000
@@ -28,18 +30,11 @@ def split_label(
     seed: str = "split0",
 ) -> Column:
     """Label column: deterministic assignment of ``key`` to a named split
-    with the given fractions (must sum to ≤ 1; remainder → 'rest')."""
+    with the given fractions (must sum to ≤ 1; remainder → 'rest').
+    Hash = the engine's shared portable 48-bit md5 recipe
+    (textstats._token_hash) over '{seed}_{key}', mod 10_000."""
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.encode(F.concat(F.lit(f"{seed}_"), key.cast("string")), "UTF-8")),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _MOD
+        _token_hash(F.concat(F.lit(f"{seed}_"), key.cast("string"))) % _MOD
     )
     expr: Column | None = None
     acc = 0

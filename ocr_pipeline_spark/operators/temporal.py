@@ -44,24 +44,32 @@ def asof_join(
     Ties at identical timestamps resolve right-row-first (the as-of
     convention: a quote at exactly the trade time matches), then by
     ``tie_col`` if given."""
+    # right payloads ride in ONE struct: the struct itself is the
+    # "a right row exists" marker (non-null even when every value field
+    # is null), so last(ignorenulls) matches the latest right ROW — a
+    # latest row whose value is NULL yields NULL, never a stale earlier
+    # value (the DuckDB ASOF JOIN semantic).
+    vals = F.struct(*[F.col(c).alias(c) for c in value_cols])
     l_tag = left.select(
         *key_cols,
         ts_col,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(
+            right.select(vals.alias("_vals")).schema["_vals"].dataType
+        ).alias("_vals"),
         F.struct(*left.columns).alias("_row"),
     )
     r_tag = right.select(
         *key_cols,
         ts_col,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        vals.alias("_vals"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
     )
     u = l_tag.unionByName(r_tag)
     order = [F.col(ts_col).asc(), F.col("_side").asc()]
     if tie_col is not None:
-        order.append(F.col(f"_v_{tie_col}").asc_nulls_first())
+        order.append(F.col(f"_vals.{tie_col}").asc_nulls_first())
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*order)
@@ -70,14 +78,11 @@ def asof_join(
     filled = u.select(
         "_side",
         "_row",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}")
-            for c in value_cols
-        ],
+        F.last("_vals", ignorenulls=True).over(w).alias("_vals"),
     )
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_vals.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 
@@ -92,7 +97,11 @@ def interval_join_count(
     """Per left row: how many right rows share the keys and fall in
     (left.ts, left.ts + window]. Executes as an equi-join on the keys
     with a range residual — Catalyst keeps it a hash/sort-merge join,
-    never a cross product."""
+    never a cross product.
+
+    Contract: left rows must be distinct (include a unique id column) —
+    the count regroups by all left columns, so duplicate left rows would
+    collapse into one output row with a summed count."""
     lt = F.col(f"l.{ts_col}")
     rt = F.col(f"r.{ts_col}")
     joined = left.alias("l").join(

@@ -18,8 +18,17 @@ __all__ = ["ThroughputListener"]
 
 
 class ThroughputListener(StreamingQueryListener):
-    def __init__(self) -> None:
+    def __init__(
+        self, query_name: str | None = None, max_batches: int = 10_000
+    ) -> None:
+        """``query_name``: record only that query's progress (listeners
+        are session-global — without a filter, concurrent streams mix).
+        ``max_batches`` bounds memory for long-lived streams (oldest
+        records dropped; totals keep counting)."""
+        self.query_name = query_name
+        self.max_batches = max_batches
         self.batches: list[dict] = []
+        self._total_rows = 0
 
     # -- listener callbacks -------------------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
@@ -27,6 +36,8 @@ class ThroughputListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
+        if self.query_name is not None and p.name != self.query_name:
+            return
         rec = {
             "stage": "stream",
             "batch_id": p.batchId,
@@ -34,6 +45,9 @@ class ThroughputListener(StreamingQueryListener):
             "rows_per_sec": round(float(p.processedRowsPerSecond or 0.0), 1),
         }
         self.batches.append(rec)
+        self._total_rows += rec["rows"]
+        if len(self.batches) > self.max_batches:
+            del self.batches[: -self.max_batches]
         print(json.dumps(rec))
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
@@ -44,7 +58,7 @@ class ThroughputListener(StreamingQueryListener):
 
     # -- driver-side summary -------------------------------------------------
     def total_rows(self) -> int:
-        return sum(b["rows"] for b in self.batches)
+        return self._total_rows
 
     def attach(self, spark: SparkSession) -> "ThroughputListener":
         spark.streams.addListener(self)

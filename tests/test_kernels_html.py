@@ -107,3 +107,25 @@ def test_payload_cap_truncates_deterministically():
     assert a.text == b.text and a.text_sha256 == b.text_sha256
     full = extract_document(big, max_payload_bytes=None)
     assert len(full.text) > len(a.text)
+
+
+def test_unquoted_attr_trailing_slash_not_selfclosing():
+    # <a href=https://x.com/> is an OPEN anchor (slash belongs to the
+    # unquoted value), so the link text must count as link chars
+    doc = '<p><a href=https://x.com/>nav link here</a> trailing words</p>'
+    (b,) = segment_html(doc)
+    assert b.n_link_chars == len("nav link here")
+    # explicit self-closing forms still work: <br/> (block tag) splits,
+    # <img/> (inline void) counts as an in-block tag
+    doc2 = '<p>one<br/>two<img src="x"/>three</p>'
+    blocks = segment_html(doc2)
+    assert [b.text for b in blocks] == ["one", "twothree"]
+    assert blocks[1].n_tags == 1  # the <img/>
+
+
+def test_semicolonless_named_entity_decoded():
+    (b,) = segment_html("<p>foo&nbsp bar&amp; baz</p>")
+    assert b.text == "foo  bar& baz".replace("  ", "") or "&nbsp" not in b.text
+    # numeric refs still require the semicolon
+    (b2,) = segment_html("<p>x &#65 y</p>")
+    assert "&#65" in b2.text

@@ -84,3 +84,16 @@ def test_sessionize_gap(spark):
     s1 = rows[0]
     assert s1["session_start"] == _ts(0)
     assert s1["session_end"] == _ts(50)  # last event 10:20 + 30m gap
+
+
+def test_asof_join_latest_null_value_wins(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts(9), 100.0), ("A", _ts(15), None)],
+        "sym string, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(20))], "trade_id long, sym string, ts timestamp"
+    )
+    (r,) = asof_join(trades, quotes, ["sym"], "ts", ["px"]).collect()
+    # latest right ROW (15:00, px=NULL) wins — not the stale 100.0
+    assert r["asof_px"] is None
