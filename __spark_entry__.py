@@ -184,8 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
         # connected components over LSH pairs → canonical duplicate
-        # clusters (iterative; rows-only check, semantics proven in
-        # tests/test_clusters_ivf.py)
+        # clusters (iterative pointer-jumping on the Spark side; the
+        # oracle replays it as a DuckDB recursive-CTE reachability)
         "dd_dup_clusters": lambda s, d: dup_clusters(
             lsh_candidate_pairs(minhash_signatures(_t(s, d, "documents")))
         ),
@@ -652,6 +652,24 @@ def oracle_sql() -> dict[str, str]:
         f"list_min(list_transform({_SHINGLES}, "
         f"s -> ({consts[i][0]} * {sh_hash} + {consts[i][1]}) % {P}))"
     )
+    lsh_pairs_sql = f"""
+            WITH sigs AS (
+              SELECT doc_id, {", ".join(f"{sig(i)} AS sig_{i}" for i in range(8))}
+              FROM documents),
+            bands AS (
+              SELECT doc_id, band_idx,
+                     case band_idx
+                       when 0 then md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR)
+                       when 1 then md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR)
+                       when 2 then md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR)
+                       else        md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) end AS band_key
+              FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -802,23 +820,19 @@ def oracle_sql() -> dict[str, str]:
                           then (1::BIGINT << i) else 0::BIGINT end)) as bigint) AS simhash
             FROM t
         """,
-        "dd_lsh_pairs": f"""
-            WITH sigs AS (
-              SELECT doc_id, {", ".join(f"{sig(i)} AS sig_{i}" for i in range(8))}
-              FROM documents),
-            bands AS (
-              SELECT doc_id, band_idx,
-                     case band_idx
-                       when 0 then md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR)
-                       when 1 then md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR)
-                       when 2 then md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR)
-                       else        md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) end AS band_key
-              FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx))
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        "dd_lsh_pairs": lsh_pairs_sql,
+        # Spark side: iterative hash-min + pointer jumping; oracle:
+        # recursive-CTE reachability — cluster_id = min reachable doc_id
+        "dd_dup_clusters": f"""
+            WITH RECURSIVE base AS ({lsh_pairs_sql}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM base
+              UNION SELECT doc_b, doc_a FROM base),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
