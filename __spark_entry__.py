@@ -168,9 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data ops: similarity search --------------------------
         "sim_topk_bruteforce": _sim_topk_bruteforce,
         "sim_near_dup": lambda s, d: cosine_near_dup(_t(s, d, "embeddings")),
-        # ann: LSH-bucketed scale path; deterministic (md5-seeded planes)
-        # but bucket logic is multi-table — rows-only driver check, recall
-        # quantified vs brute force in tests/test_similarity.py
+        # ann: multi-table LSH scale path — oracle replays the same
+        # md5-seeded hyperplanes in SQL; recall additionally quantified
+        # vs brute force in tests/test_similarity.py
         "sim_ann_topk": lambda s, d: ann_topk(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
@@ -639,6 +639,43 @@ def _near_dup_sql(
     """
 
 
+def _ann_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 3,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 0,
+) -> str:
+    """Multi-table LSH oracle mirroring similarity.ann_topk: same
+    md5-derived hyperplanes per table (seed + 1000*t), candidate = bucket
+    match in ANY table, exact rounded cosine re-rank."""
+    def bucket(vec: str, t: int) -> str:
+        planes = _plane_constants(n_planes, dim, seed + 1000 * t)
+        return " + ".join(
+            f"CASE WHEN {_dot_sql(vec, p)} > 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    b_cols = ", ".join(f"{bucket('v', t)} AS b{t}" for t in range(n_tables))
+    any_match = " OR ".join(f"x.b{t} = q.b{t}" for t in range(n_tables))
+    ids = ", ".join(map(str, query_ids))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {b_cols} FROM e),
+        q AS (SELECT * FROM b WHERE vec_id IN ({ids})),
+        s AS (
+          SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                 {_cos_sql('q.v', 'x.v')} AS cos_sim
+          FROM b x JOIN q ON ({any_match}) AND x.vec_id <> q.vec_id)
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM s) WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = (
         "round(list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, x) -> a + x)"
@@ -868,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(fps) AS fp FROM m
         """,
         "sim_near_dup": _near_dup_sql(),
+        "sim_ann_topk": _ann_topk_sql([0, 1, 2, 3, 4]),
         "cur_exact_keep": f"""
             WITH t AS (
               SELECT doc_id, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
