@@ -168,7 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data ops: similarity search --------------------------
         "sim_topk_bruteforce": _sim_topk_bruteforce,
         "sim_near_dup": lambda s, d: cosine_near_dup(_t(s, d, "embeddings")),
-        # ann: multi-table LSH scale path — oracle replays the same
+        # ann/ivf: LSH and inverted-file scale paths — oracles replay the
+        # same md5-seeded constants in SQL — oracle replays the same
         # md5-seeded hyperplanes in SQL; recall additionally quantified
         # vs brute force in tests/test_similarity.py
         "sim_ann_topk": lambda s, d: ann_topk(
@@ -676,6 +677,46 @@ def _ann_topk_sql(
     """
 
 
+def _ivf_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+) -> str:
+    """IVF oracle mirroring similarity.ivf_topk: same md5-derived
+    normalized centroids; nearest cell = struct-max of (score, cell)
+    (lexicographic struct comparison in both engines); queries probe
+    their n_probe best cells."""
+    from ocr_pipeline_spark.operators.similarity import _centroids
+
+    cents = _centroids(n_cells, dim, seed)
+    scores = ", ".join(
+        f"{{'score': {_dot_sql('v', c)}, 'cell': {i}}}"
+        for i, c in enumerate(cents)
+    )
+    ids = ", ".join(map(str, query_ids))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sc AS (SELECT vec_id, v, [{scores}] AS scores FROM e),
+        c AS (SELECT vec_id, v, list_max(scores).cell AS cell FROM sc),
+        q AS (SELECT vec_id AS query_id, v AS qv,
+                     unnest(list_transform(
+                       list_slice(list_reverse(list_sort(scores)), 1, {n_probe}),
+                       s -> s.cell)) AS q_cell
+              FROM sc WHERE vec_id IN ({ids})),
+        s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     {_cos_sql('qv', 'c.v')} AS cos_sim
+              FROM c JOIN q ON c.cell = q.q_cell AND c.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM s) WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = (
         "round(list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, x) -> a + x)"
@@ -906,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_near_dup": _near_dup_sql(),
         "sim_ann_topk": _ann_topk_sql([0, 1, 2, 3, 4]),
+        "sim_ivf_topk": _ivf_topk_sql([0, 1, 2, 3, 4]),
         "cur_exact_keep": f"""
             WITH t AS (
               SELECT doc_id, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
