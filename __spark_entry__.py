@@ -169,9 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk_bruteforce,
         "sim_near_dup": lambda s, d: cosine_near_dup(_t(s, d, "embeddings")),
         # ann/ivf: LSH and inverted-file scale paths — oracles replay the
-        # same md5-seeded constants in SQL — oracle replays the same
-        # md5-seeded hyperplanes in SQL; recall additionally quantified
-        # vs brute force in tests/test_similarity.py
+        # same md5-seeded plane/centroid constants in SQL; recall is
+        # additionally quantified vs brute force in tests/
         "sim_ann_topk": lambda s, d: ann_topk(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
