@@ -57,6 +57,7 @@ from ocr_pipeline_spark.operators.similarity import (
     _plane_constants,
 )
 from ocr_pipeline_spark.operators.splits import hash_split
+from ocr_pipeline_spark.operators.urlkit import with_canonical_url
 from ocr_pipeline_spark.operators.temporal import (
     asof_join,
     interval_join_count,
@@ -205,6 +206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
         ),
+        # -- url canonicalization (synth pages input → rows-only; DuckDB
+        #    parity proven over a literal corpus in tests/test_urlkit.py)
+        "url_canonical": lambda s, d: with_canonical_url(
+            _synth_pages_df(s)
+        ).select("url", "canonical_url").orderBy("url"),
         # -- deterministic train/valid/test split ---------------------------
         "sp_hash_split": lambda s, d: hash_split(
             _t(s, d, "documents").select("doc_id"),

@@ -1,0 +1,76 @@
+"""URL canonicalization — the key-normalization layer under web-scale
+dedup and partitioning.
+
+Exact-dup url keys, hash(url) bucketing, and domain salting all assume
+one url string per logical resource; raw crawl urls violate that
+(scheme/host case, default ports, fragments, trailing '?', '/index.html'
+tails). ``canonical_url`` is a deterministic, engine-portable rewrite
+chain (pure regexp_replace steps, identical in the DuckDB oracle — no
+URL library whose version could drift).
+
+Steps, in order (each a single anchored regex):
+1. lowercase the scheme://host prefix (path case is significant, host
+   case is not);
+2. drop the fragment (#…);
+3. drop default ports (:80 on http, :443 on https);
+4. drop a bare trailing '?';
+5. drop a trailing '/index.html' (directory-default tail);
+6. strip one trailing '/' — including the root slash, so
+   ``scheme://host`` is the canonical root form.
+
+``host_of``/``domain_suffix`` expose the pieces partitioning uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["canonical_url", "with_canonical_url", "CANON_STEPS_SQL"]
+
+# (pattern, replacement) pairs applied in order — Spark regexp_replace and
+# DuckDB regexp_replace(..., 'g') execute the same chain.
+_STEPS: list[tuple[str, str]] = [
+    (r"#.*$", ""),                                   # fragment
+    (r":80(/|\?|$)", r"$1"),                          # default http port
+    (r":443(/|\?|$)", r"$1"),                         # default https port
+    (r"\?$", ""),                                     # bare trailing ?
+    (r"/index\.html?$", "/"),                         # directory default
+    (r"([^/])/$", r"$1"),                             # trailing slash
+]
+
+
+def canonical_url(col: Column) -> Column:
+    """Deterministic canonical form of a url string column."""
+    # lowercase the scheme://host prefix (everything before the first
+    # '/', '?' or '#' after '://'); path/query case is preserved
+    scheme_host = F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    tail = F.substring(col, F.length(scheme_host) + F.lit(1), F.lit(1 << 20))
+    out = F.concat(F.lower(scheme_host), tail)
+    for pat, rep in _STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+
+
+# DuckDB chain mirroring canonical_url, as a SQL expression over {c}.
+def CANON_STEPS_SQL(c: str) -> str:
+    expr = (
+        f"concat(lower(regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), "
+        f"substring({c}, length(regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1))"
+    )
+    duck_steps = [
+        (r"#.*$", ""),
+        (r":80(/|\?|$)", r"\1"),
+        (r":443(/|\?|$)", r"\1"),
+        (r"\?$", ""),
+        (r"/index\.html?$", "/"),
+        (r"([^/])/$", r"\1"),
+    ]
+    for pat, rep in duck_steps:
+        # DuckDB standard strings keep backslashes literal — no doubling
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}')"
+    return expr

@@ -1,0 +1,56 @@
+"""URL canonicalization: rewrite rules, idempotence, DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ocr_pipeline_spark.operators.urlkit import CANON_STEPS_SQL, canonical_url
+from pyspark.sql import functions as F
+
+CASES = [
+    ("HTTPS://Example.COM/Path/Page", "https://example.com/Path/Page"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a?q=1", "https://example.com/a?q=1"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    ("https://example.com/a?", "https://example.com/a"),
+    ("https://example.com/dir/index.html", "https://example.com/dir"),
+    ("https://example.com/a/", "https://example.com/a"),
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com/a?x=1&y=2", "https://example.com/a?x=1&y=2"),
+]
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+
+
+def test_canonical_rules(spark, urls_df):
+    got = [
+        r["c"]
+        for r in urls_df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonicalization_idempotent(spark, urls_df):
+    once = urls_df.select(canonical_url(F.col("url")).alias("url"))
+    twice = once.select(canonical_url(F.col("url")).alias("url"))
+    assert once.collect() == twice.collect()
+
+
+def test_duckdb_parity(spark, urls_df):
+    s = [
+        r["c"]
+        for r in urls_df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{u}')" for u, _ in CASES)
+        + ") t(url)"
+    )
+    d = [r[0] for r in con.execute(f"SELECT {CANON_STEPS_SQL('url')} FROM u").fetchall()]
+    assert s == d
