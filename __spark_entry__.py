@@ -617,8 +617,12 @@ def _cos_sql(u: str, v: str) -> str:
             "p -> p[1] * p[2]), (acc, x) -> acc + x)"
         )
 
+    # coalesce mirrors the Spark side's nanvl guard (_sim4): a zero
+    # vector is 0.0/0.0 → NULL in DuckDB, NaN→0.0 in Spark; with
+    # non-null vectors NULL can only arise from that division, so
+    # coalesce(…, 0) is exact
     return (
-        f"round({dot(u, v)} / (sqrt({dot(u, u)}) * sqrt({dot(v, v)})), 4)"
+        f"coalesce(round({dot(u, v)} / (sqrt({dot(u, u)}) * sqrt({dot(v, v)})), 4), 0.0)"
     )
 
 

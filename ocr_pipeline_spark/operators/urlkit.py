@@ -12,11 +12,13 @@ Steps, in order (each a single anchored regex):
 1. lowercase the scheme://host prefix (path case is significant, host
    case is not);
 2. drop the fragment (#…);
-3. drop default ports (:80 on http, :443 on https);
+3. drop default ports — ``:80`` on http and ``:443`` on https only,
+   anchored to the authority (a ``:80`` inside the path is untouched);
 4. drop a bare trailing '?';
-5. drop a trailing '/index.html' (directory-default tail);
-6. strip one trailing '/' — including the root slash, so
-   ``scheme://host`` is the canonical root form.
+5. strip one trailing '/' — including the root slash, so
+   ``scheme://host`` is the canonical root form;
+6. drop a trailing '/index.html' (directory-default tail; running after
+   the slash strip makes '/a/index.html/' canonicalize in one pass).
 
 ``host_of``/``domain_suffix`` expose the pieces partitioning uses.
 """
@@ -28,15 +30,18 @@ from pyspark.sql import functions as F
 
 __all__ = ["canonical_url", "with_canonical_url", "CANON_STEPS_SQL"]
 
-# (pattern, replacement) pairs applied in order — Spark regexp_replace and
-# DuckDB regexp_replace(..., 'g') execute the same chain.
+# (pattern, replacement) pairs applied in order; the DuckDB chain is
+# DERIVED from this list (single source of truth). Port rules are
+# anchored to the authority and scheme-conditional (:443 is NOT a
+# default for http); trailing-slash strip runs BEFORE the index.html
+# rule so '/a/index.html/' canonicalizes in one pass (idempotence).
 _STEPS: list[tuple[str, str]] = [
-    (r"#.*$", ""),                                   # fragment
-    (r":80(/|\?|$)", r"$1"),                          # default http port
-    (r":443(/|\?|$)", r"$1"),                         # default https port
-    (r"\?$", ""),                                     # bare trailing ?
-    (r"/index\.html?$", "/"),                         # directory default
-    (r"([^/])/$", r"$1"),                             # trailing slash
+    (r"#.*$", ""),                                       # fragment
+    (r"^(http://[^/:?#]*):80(/|\?|$)", r"$1$2"),          # default http port
+    (r"^(https://[^/:?#]*):443(/|\?|$)", r"$1$2"),        # default https port
+    (r"\?$", ""),                                         # bare trailing ?
+    (r"([^/])/$", r"$1"),                                 # trailing slash
+    (r"/index\.html?$", ""),                              # directory default
 ]
 
 
@@ -62,15 +67,10 @@ def CANON_STEPS_SQL(c: str) -> str:
         f"concat(lower(regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), "
         f"substring({c}, length(regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1))"
     )
-    duck_steps = [
-        (r"#.*$", ""),
-        (r":80(/|\?|$)", r"\1"),
-        (r":443(/|\?|$)", r"\1"),
-        (r"\?$", ""),
-        (r"/index\.html?$", "/"),
-        (r"([^/])/$", r"\1"),
-    ]
-    for pat, rep in duck_steps:
-        # DuckDB standard strings keep backslashes literal — no doubling
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}')"
+    for pat, rep in _STEPS:
+        # derived from _STEPS: only group syntax differs ($1 → \1);
+        # DuckDB standard strings keep backslashes literal (no doubling);
+        # 'g' flag matches Spark's replace-all semantics
+        duck_rep = rep.replace("$", "\\")
+        expr = f"regexp_replace({expr}, '{pat}', '{duck_rep}', 'g')"
     return expr

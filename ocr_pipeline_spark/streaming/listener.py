@@ -47,7 +47,7 @@ class ThroughputListener(StreamingQueryListener):
         self.batches.append(rec)
         self._total_rows += rec["rows"]
         if len(self.batches) > self.max_batches:
-            del self.batches[: -self.max_batches]
+            del self.batches[: len(self.batches) - self.max_batches]
         print(json.dumps(rec))
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802

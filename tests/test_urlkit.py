@@ -19,6 +19,12 @@ CASES = [
     ("https://example.com/a/", "https://example.com/a"),
     ("https://example.com/", "https://example.com"),
     ("https://example.com/a?x=1&y=2", "https://example.com/a?x=1&y=2"),
+    # review regressions: path-internal ':80', non-default port on the
+    # wrong scheme, and the one-pass '/index.html/' shape
+    ("https://example.com/story:80/page", "https://example.com/story:80/page"),
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    ("https://example.com/a/index.html/", "https://example.com/a"),
+    ("http://example.com:80/a:80/b", "http://example.com/a:80/b"),
 ]
 
 
