@@ -44,8 +44,11 @@ from ocr_pipeline_spark.operators.extraction import (
 )
 from ocr_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    _parse as _media_parse,
     decode_media_meta,
-    media_features,
+    feature_of,
+    format_feature,
+    media_features_packed,
     synth_media,
 )
 from ocr_pipeline_spark.operators.similarity import (
@@ -57,7 +60,11 @@ from ocr_pipeline_spark.operators.similarity import (
     _plane_constants,
 )
 from ocr_pipeline_spark.operators.splits import hash_split
-from ocr_pipeline_spark.operators.urlkit import with_canonical_url
+from ocr_pipeline_spark.operators.urlkit import (
+    CANON_STEPS_SQL,
+    EDGE_URLS,
+    with_canonical_url,
+)
 from ocr_pipeline_spark.operators.temporal import (
     asof_join,
     interval_join_count,
@@ -190,14 +197,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_clusters": lambda s, d: dup_clusters(
             lsh_candidate_pairs(minhash_signatures(_t(s, d, "documents")))
         ),
-        # -- multimodal plumbing (binary payloads; no DuckDB view → rows-
-        #    only check; kernel correctness in tests/test_multimodal.py) --
-        "mm_decode_meta": lambda s, d: decode_media_meta(
+        # -- multimodal plumbing (binary payloads — not expressible over
+        #    the DuckDB views, so the oracles inline expectations computed
+        #    by the SAME Python kernels (_parse / feature_of) the Spark
+        #    UDFs call: a genuine value check, parity by construction).
+        #    NULL-able columns are coalesced to sentinels on both sides
+        #    (never NULL-mixed hash columns) --------------------------------
+        "mm_decode_meta": lambda s, d: decode_media_meta(_media_df(s))
+        .select(
+            "media_id",
+            "url",
+            F.coalesce("kind", F.lit("")).alias("kind"),
+            F.coalesce("width", F.lit(-1)).alias("width"),
+            F.coalesce("height", F.lit(-1)).alias("height"),
+            F.coalesce("n_frames", F.lit(-1)).alias("n_frames"),
+            F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+            "n_bytes",
+            "payload_sha256",
+            F.coalesce("error", F.lit("")).alias("error"),
+        )
+        .orderBy("media_id"),
+        # array<double> serialized Python-side ('%.6f' join) — the driver
+        # canonicalizer can't sort/hash array columns, and JVM/DuckDB
+        # double→string formatting disagrees; see format_feature
+        "mm_features": lambda s, d: media_features_packed(
             _media_df(s)
         ).orderBy("media_id"),
-        "mm_features": lambda s, d: media_features(_media_df(s)).orderBy(
-            "media_id"
-        ),
         # -- curation composite: quality + lang + exact dedup ---------------
         "cur_exact_keep": lambda s, d: curate(
             _t(s, d, "documents"), langs=("en",), dedup="exact"
@@ -206,10 +231,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
         ),
-        # -- url canonicalization (synth pages input → rows-only; DuckDB
-        #    parity proven over a literal corpus in tests/test_urlkit.py)
+        # -- url canonicalization over the deterministic synth-page urls
+        #    plus the EDGE_URLS corpus (exercises every rewrite step);
+        #    the oracle inlines the same urls and applies the DuckDB
+        #    chain DERIVED from the same _STEPS list (urlkit.py)
         "url_canonical": lambda s, d: with_canonical_url(
             _synth_pages_df(s)
+            .select("url")
+            .union(s.createDataFrame([(u,) for u in EDGE_URLS], "url string"))
         ).select("url", "canonical_url").orderBy("url"),
         # -- deterministic train/valid/test split ---------------------------
         "sp_hash_split": lambda s, d: hash_split(
@@ -464,25 +493,14 @@ def _dd_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dd_jaccard_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed candidate pairs (sig_0 mod 256) + exact Jaccard —
-    nonempty candidate demo on unique-text corpora. Candidate count is
-    N²/buckets; 256 keeps the verify stage linear-ish at bench scale."""
+    """Banded-LSH candidate pairs + exact Jaccard verify — the production
+    dedup path (curate_job uses the same composition). Candidate count is
+    O(band collisions), never O(N²): the equi-join key (band_idx,
+    band_key) is a hash, so the shuffle is skew-free by construction."""
     docs = _t(spark, sf_dir, "documents")
-    # coalesce → non-nullable join key: otherwise the join's inferred
-    # isnotnull(bucket) filter is pushed below the staged minhash
-    # projections, re-inlining the whole signature tree into a Filter on
-    # BOTH self-join sides (measured ~10× slower)
-    sigs = minhash_signatures(docs).select(
-        "doc_id",
-        F.coalesce(F.col("sig_0") % 256, F.lit(-1)).alias("bucket"),
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs), bands=4, rows_per_band=2
+    ).select("doc_a", "doc_b")
     return jaccard_verify(docs, pairs).select(
         "doc_a", "doc_b", "n_intersect", "n_union", "jaccard"
     )
@@ -726,6 +744,67 @@ def _ivf_topk_sql(
     """
 
 
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _mm_decode_meta_oracle(n: int = 200) -> str:
+    """Expected metadata for the deterministic synth media table, computed
+    by the SAME ``_parse`` kernel the Spark UDF calls and inlined as a
+    VALUES list (the payloads are binary — not expressible over the
+    pre-registered DuckDB views). Sentinels match the registered query:
+    kind/error → '', missing dims → -1."""
+    import hashlib
+
+    pdf = synth_media(n)
+    rows = []
+    for mid, url, payload in zip(pdf.media_id, pdf.url, pdf.payload):
+        meta, err = _media_parse(payload)
+        meta = meta or {}
+        sha = hashlib.sha256(bytes(payload)).hexdigest()
+        rows.append(
+            f"({int(mid)}, '{_sql_quote(url)}', "
+            f"'{_sql_quote(meta.get('kind') or '')}', "
+            f"{meta.get('width', -1) if meta.get('width') is not None else -1}, "
+            f"{meta.get('height', -1) if meta.get('height') is not None else -1}, "
+            f"{meta.get('n_frames', -1) if meta.get('n_frames') is not None else -1}, "
+            f"{meta.get('sample_rate', -1) if meta.get('sample_rate') is not None else -1}, "
+            f"{len(payload)}, '{sha}', '{_sql_quote(err or '')}')"
+        )
+    return f"""
+        SELECT media_id::BIGINT AS media_id, url, kind,
+               width::INTEGER AS width, height::INTEGER AS height,
+               n_frames::INTEGER AS n_frames,
+               sample_rate::INTEGER AS sample_rate,
+               n_bytes::BIGINT AS n_bytes, payload_sha256, error
+        FROM (VALUES {", ".join(rows)})
+             t(media_id, url, kind, width, height, n_frames, sample_rate,
+               n_bytes, payload_sha256, error)
+    """
+
+
+def _mm_features_oracle(n: int = 200) -> str:
+    """Expected feature strings, computed by the SAME feature_of /
+    format_feature kernels the Spark UDF calls (multimodal.py) — byte
+    parity by construction."""
+    pdf = synth_media(n)
+    values = ", ".join(
+        f"({int(mid)}, '{format_feature(feature_of(payload))}')"
+        for mid, payload in zip(pdf.media_id, pdf.payload)
+    )
+    return (
+        "SELECT media_id::BIGINT AS media_id, feature_str "
+        f"FROM (VALUES {values}) t(media_id, feature_str)"
+    )
+
+
+def _url_corpus(n: int = 150, seed: int = 42) -> list[str]:
+    """The url_canonical input rows: synth-page urls (deterministic for
+    (n, seed)) + the EDGE_URLS rewrite-step corpus. Mirrors the Spark
+    query's union exactly."""
+    return list(synth_pages(n, seed=seed)["url"]) + list(EDGE_URLS)
+
+
 def oracle_sql() -> dict[str, str]:
     cos = (
         "round(list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, x) -> a + x)"
@@ -790,7 +869,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a5_error_rate": """
             SELECT user_id, count(*) AS n_events,
-                   sum(case when event_type = 'error' then 1 else 0 end) AS n_errors,
+                   cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) AS n_errors,
                    round(cast(sum(case when event_type = 'error' then 1 else 0 end) as double) / count(*), 4) AS error_rate
             FROM events GROUP BY user_id
         """,
@@ -923,10 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-            sigs AS (SELECT doc_id, {sig(0)} % 256 AS bucket FROM documents),
-            pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+            pairs AS (SELECT doc_a, doc_b FROM ({lsh_pairs_sql}))
             SELECT doc_a, doc_b,
                    len(list_intersect(sa.sh, sb.sh)) AS n_intersect,
                    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS n_union,
@@ -1063,5 +1139,16 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
+        """,
+        # multimodal: expectations computed by the same Python kernels the
+        # Spark UDFs call, inlined as VALUES (binary payloads — not
+        # expressible over the pre-registered views)
+        "mm_decode_meta": _mm_decode_meta_oracle(),
+        "mm_features": _mm_features_oracle(),
+        # url canonicalization: deterministic input urls inlined; DuckDB
+        # recomputes the chain independently via CANON_STEPS_SQL
+        "url_canonical": f"""
+            SELECT url, {CANON_STEPS_SQL("url")} AS canonical_url
+            FROM (VALUES {", ".join(f"('{u}')" for u in _url_corpus())}) t(url)
         """,
     }

@@ -39,6 +39,9 @@ __all__ = [
     "decode_media_meta",
     "frame_sample",
     "media_features",
+    "media_features_packed",
+    "feature_of",
+    "format_feature",
 ]
 
 MEDIA_SCHEMA = "media_id long, url string, kind string, payload binary"
@@ -198,6 +201,33 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     return media.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def feature_of(payload: bytes | None, dim: int = FEATURE_DIM) -> list | None:
+    """Per-payload feature kernel: L2-normalized byte histogram of the
+    payload → list of ``dim`` doubles, or None for undecodable payloads.
+    Single source of truth — both the Spark UDF and the DuckDB-oracle
+    VALUES builder call this exact function, so cross-engine parity is
+    by construction (CLAUDE.md recipe: inline the same Python-derived
+    constants into both sides)."""
+    meta, err = _parse(payload)
+    if err:
+        return None
+    body = np.frombuffer(bytes(payload), dtype=np.uint8)
+    hist = np.bincount(body % dim, minlength=dim).astype("float64")
+    norm = float(np.sqrt((hist * hist).sum()))
+    return (hist / norm).tolist() if norm else hist.tolist()
+
+
+def format_feature(vec: list | None) -> str:
+    """Stable cross-engine serialization of a feature vector: CPython
+    '%.6f' per component, comma-joined; undecodable → '' sentinel
+    (never a NULL-mixed hash column). Serialized Python-side because
+    JVM double→string (Java 17 Double.toString, non-shortest) and
+    DuckDB/Python formatting disagree on some doubles."""
+    if vec is None:
+        return ""
+    return ",".join("%.6f" % v for v in vec)
+
+
 def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Feature extraction: L2-normalized byte histogram of the payload
     body → array<double> of length ``dim``. A deterministic stand-in for
@@ -209,16 +239,7 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = []
-            for payload in pdf["payload"]:
-                meta, err = _parse(payload)
-                if err:
-                    feats.append(None)
-                    continue
-                body = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(body % dim, minlength=dim).astype("float64")
-                norm = float(np.sqrt((hist * hist).sum()))
-                feats.append((hist / norm).tolist() if norm else hist.tolist())
+            feats = [feature_of(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].to_numpy(), "feature": feats}
             )
@@ -226,3 +247,21 @@ def media_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(
         fn, schema="media_id long, feature array<double>"
     )
+
+
+def media_features_packed(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """``media_features`` with the vector serialized Python-side via
+    ``format_feature`` — for cross-engine value checks, where an
+    array<double> column can't be canonicalized/hashed. Same single
+    mapInPandas stage (no extra Arrow hop)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [format_feature(feature_of(p, dim)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "feature_str": feats}
+            )
+
+    return media.mapInPandas(fn, schema="media_id long, feature_str string")

@@ -28,7 +28,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "with_canonical_url", "CANON_STEPS_SQL"]
+__all__ = ["canonical_url", "with_canonical_url", "CANON_STEPS_SQL", "EDGE_URLS"]
+
+# Edge-case corpus exercising every rewrite step (and the anchoring
+# regressions). Single source of truth: tests/test_urlkit.py pins the
+# expected canonical forms, and __spark_entry__'s url_canonical query +
+# DuckDB oracle both take their input rows from this list.
+EDGE_URLS: list[str] = [
+    "HTTPS://Example.COM/Path/Page",
+    "http://example.com:80/a",
+    "https://example.com:443/a?q=1",
+    "https://example.com:8443/a",
+    "https://example.com/a#frag",
+    "https://example.com/a?",
+    "https://example.com/dir/index.html",
+    "https://example.com/a/",
+    "https://example.com/",
+    "https://example.com/a?x=1&y=2",
+    "https://example.com/story:80/page",
+    "http://example.com:443/a",
+    "https://example.com/a/index.html/",
+    "http://example.com:80/a:80/b",
+]
 
 # (pattern, replacement) pairs applied in order; the DuckDB chain is
 # DERIVED from this list (single source of truth). Port rules are

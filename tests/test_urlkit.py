@@ -5,7 +5,11 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from ocr_pipeline_spark.operators.urlkit import CANON_STEPS_SQL, canonical_url
+from ocr_pipeline_spark.operators.urlkit import (
+    CANON_STEPS_SQL,
+    EDGE_URLS,
+    canonical_url,
+)
 from pyspark.sql import functions as F
 
 CASES = [
@@ -26,6 +30,12 @@ CASES = [
     ("https://example.com/a/index.html/", "https://example.com/a"),
     ("http://example.com:80/a:80/b", "http://example.com/a:80/b"),
 ]
+
+
+def test_edge_urls_in_sync():
+    # EDGE_URLS (the driver-oracle input corpus) must stay exactly the
+    # CASES inputs whose expected canonical forms this file pins.
+    assert [u for u, _ in CASES] == EDGE_URLS
 
 
 @pytest.fixture(scope="module")
