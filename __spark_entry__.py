@@ -34,7 +34,9 @@ from ocr_pipeline_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_perm_constants,
     minhash_signatures,
+    simhash_candidate_pairs,
     simhash_signatures,
+    simhash_table_combos,
 )
 from ocr_pipeline_spark.operators.extraction import (
     explode_blocks,
@@ -72,8 +74,10 @@ from ocr_pipeline_spark.operators.temporal import (
 )
 from ocr_pipeline_spark.plans.curate_job import curate
 from ocr_pipeline_spark.operators.textstats import (
+    LANG_STOPWORDS,
     STOPWORDS_EN,
     lang_id,
+    lang_id_multi,
     quality_flags,
     rolling_hash,
     token_stats,
@@ -155,10 +159,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_token_stats": lambda s, d: token_stats(_t(s, d, "documents")),
         "ts_quality_flags": lambda s, d: quality_flags(_t(s, d, "documents")),
         "ts_langid": lambda s, d: lang_id(_t(s, d, "documents")),
+        "ts_langid_multi": lambda s, d: lang_id_multi(_t(s, d, "documents")),
         # -- training-data ops: dedup --------------------------------------
         "dd_exact": lambda s, d: exact_dedup(_t(s, d, "documents")),
         "dd_minhash": lambda s, d: minhash_signatures(_t(s, d, "documents")),
         "dd_simhash": lambda s, d: simhash_signatures(_t(s, d, "documents")),
+        # Manku-style multi-table bit-block LSH + hamming verify — the
+        # SimHash companion of dd_lsh_pairs (see simhash_candidate_pairs)
+        "dd_simhash_pairs": lambda s, d: simhash_candidate_pairs(
+            simhash_signatures(_t(s, d, "documents"))
+        ),
         "dd_lsh_pairs": _dd_lsh_pairs,
         "dd_jaccard_bucket": _dd_jaccard_bucket,
         # -- training-data ops: fingerprinting -----------------------------
@@ -836,6 +846,44 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         """
+    simhash_sql = f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
+              FROM documents)
+            SELECT doc_id,
+                   cast(list_sum(list_transform(range(0, 60), i ->
+                     case when list_sum(list_transform(hashes, h -> ((h >> i) & 1) * 2 - 1)) > 0
+                          then (1::BIGINT << i) else 0::BIGINT end)) as bigint) AS simhash
+            FROM t
+        """
+    # mirror of simhash_candidate_pairs: one table per block-combo from
+    # the SAME simhash_table_combos list, key = concatenated block values
+    blk = lambda i: f"((simhash >> {i * 10}) & 1023)"  # noqa: E731
+
+    def key_of(combo: tuple[int, ...]) -> str:
+        # same left fold as the Spark side: ((b0 << 10) | b1) << 10 | b2
+        key = blk(combo[0])
+        for c in combo[1:]:
+            key = f"(({key} << 10) | {blk(c)})"
+        return key
+    tables_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {t} AS table_idx, "
+        f"{key_of(combo)} AS table_key FROM sigs"
+        for t, combo in enumerate(simhash_table_combos(6, 3))
+    )
+    simhash_pairs_sql = f"""
+            WITH sigs AS ({simhash_sql}),
+            tables AS ({tables_union}),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     min(cast(bit_count(xor(a.simhash, b.simhash)) as integer)) AS hamming
+              FROM tables a JOIN tables b
+                ON a.table_idx = b.table_idx AND a.table_key = b.table_key
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+        """
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -966,6 +1014,28 @@ def oracle_sql() -> dict[str, str]:
                    case when 20 * en_stop_hits >= n_tokens then 'en' else 'unknown' end AS lang_guess
             FROM t
         """,
+        "ts_langid_multi": (lambda sl: f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                     {", ".join(
+                         f"len(list_filter({_TOKS}, x -> list_contains("
+                         f"{sl(lg)}, x))) AS {lg}_hits"
+                         for lg in ("en", "de", "es", "fr"))}
+              FROM documents),
+            g AS (SELECT *, greatest(en_hits, de_hits, es_hits, fr_hits) AS best FROM t)
+            SELECT doc_id, n_tokens, en_hits, de_hits, es_hits, fr_hits,
+                   case when 20 * best < n_tokens then 'unknown'
+                        when en_hits = best then 'en'
+                        when de_hits = best then 'de'
+                        when es_hits = best then 'es'
+                        when fr_hits = best then 'fr'
+                        else 'unknown' end AS lang_guess
+            FROM g
+        """)(
+            lambda lg: "["
+            + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
+            + "]"
+        ),
         "dd_exact": f"""
             SELECT substr(md5({_NORM}), 1, 16) AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -975,17 +1045,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {", ".join(f"{sig(i)} AS sig_{i}" for i in range(8))}
             FROM documents
         """,
-        "dd_simhash": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     list_transform({_TOKS}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
-              FROM documents)
-            SELECT doc_id,
-                   cast(list_sum(list_transform(range(0, 60), i ->
-                     case when list_sum(list_transform(hashes, h -> ((h >> i) & 1) * 2 - 1)) > 0
-                          then (1::BIGINT << i) else 0::BIGINT end)) as bigint) AS simhash
-            FROM t
-        """,
+        "dd_simhash": simhash_sql,
+        "dd_simhash_pairs": simhash_pairs_sql,
         "dd_lsh_pairs": lsh_pairs_sql,
         # Spark side: iterative hash-min + pointer jumping; oracle:
         # recursive-CTE reachability — cluster_id = min reachable doc_id

@@ -43,6 +43,7 @@ __all__ = [
     "simhash60",
     "simhash_signatures",
     "simhash_signatures_expr",
+    "simhash_candidate_pairs",
 ]
 
 DEFAULT_NUM_HASHES = 8
@@ -422,4 +423,97 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     return docs.select("doc_id", text_col).mapInPandas(
         fn, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_table_combos(blocks: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """The block-index combinations keying each LSH table: every
+    (blocks - max_hamming)-subset of the block indices. A pair with
+    hamming ≤ max_hamming differs in at most max_hamming blocks, so it
+    AGREES on some (blocks - max_hamming)-subset → is caught by that
+    table (recall exactly 1 at the threshold). Shared by the Spark
+    operator and the DuckDB oracle builder."""
+    import itertools
+
+    return list(itertools.combinations(range(blocks), blocks - max_hamming))
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    blocks: int = 6,
+    max_hamming: int = 3,
+    sig_bits: int = 60,
+) -> DataFrame:
+    """Multi-table bit-block LSH over SimHash signatures → verified
+    near-dup pairs (doc_a, doc_b, hamming). The Manku-Jain-Sarma design
+    ("Detecting near-duplicates for web crawling", WWW'07): the
+    ``sig_bits``-bit signature is split into ``blocks`` contiguous
+    blocks; one table per (blocks - max_hamming)-subset of blocks, keyed
+    on the CONCATENATION of that subset's block values.
+
+    Why not naive single-block bands: a 60/4 = 15-bit band key has a
+    2^15 keyspace — at 10^12 docs every bucket holds ~3×10^7 docs and
+    the within-bucket join goes quadratic. Here the table key is
+    (blocks - max_hamming) × (sig_bits/blocks) = 30 bits (defaults), so
+    buckets stay small at web scale at the cost of C(6,3) = 20 tables —
+    the published trade-off, and each emitted row is (doc_id, 2 shorts,
+    1 long): no text ever moves.
+
+    Verify: popcount(xor(sig_a, sig_b)) ≤ max_hamming — pure JVM
+    expressions on the two 8-byte signatures. The equi-join key
+    (table_idx, table_key) is a slice of a hash → uniform, skew-free
+    shuffle; candidate volume is O(key collisions), never O(N²).
+    Companion of ``lsh_candidate_pairs`` (MinHash/Jaccard regime).
+    """
+    bits_per = sig_bits // blocks
+    mask = (1 << bits_per) - 1
+
+    def block(i: int) -> Column:
+        return F.shiftright(F.col("simhash"), i * bits_per).bitwiseAND(
+            F.lit(mask)
+        )
+
+    def table_key(combo: tuple[int, ...]) -> Column:
+        key = block(combo[0])
+        for i in combo[1:]:
+            key = F.shiftleft(key, bits_per).bitwiseOR(block(i))
+        return key
+
+    combos = simhash_table_combos(blocks, max_hamming)
+    table_rows = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_idx"),
+                        table_key(combo).alias("table_key"),
+                    )
+                    for t, combo in enumerate(combos)
+                ]
+            )
+        ).alias("t"),
+    ).select("doc_id", "simhash", "t.*")
+    a = table_rows.alias("a")
+    b = table_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.table_key") == F.col("b.table_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        # a pair can collide in several tables → dedup; hamming is
+        # identical on every collision row, min() is just the reducer
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -26,6 +26,8 @@ __all__ = [
     "token_stats",
     "quality_flags",
     "lang_id",
+    "lang_id_multi",
+    "LANG_STOPWORDS",
     "annotate_quality",
     "fingerprint",
     "rolling_hash",
@@ -143,6 +145,73 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_tok.alias("n_tokens"),
         hits.alias("en_stop_hits"),
         guess.alias("lang_guess"),
+    )
+
+
+# Per-language function-word lists (top frequency-rank words — public
+# linguistic knowledge). Deliberately tiny and deterministic; mirrored
+# verbatim in the DuckDB oracle. Accented forms stay as written — exact
+# UTF-8 token equality in both engines.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": STOPWORDS_EN,
+    "de": (
+        "der die das und ist ich nicht sie es ein zu er wir den mit sich "
+        "auf für als auch an werden aus bei nach wie im einer um am sind "
+        "noch nur war haben einen dem des"
+    ).split(),
+    "es": (
+        "el la de que y a en un ser se no haber por con su para como "
+        "estar tener le lo todo pero más hacer o poder decir este ir los "
+        "las una del al es"
+    ).split(),
+    "fr": (
+        "le la les de des un une et est en que qui dans pour pas sur ne "
+        "je il elle nous vous ils au du ce cette mais avec tout faire "
+        "plus dire me on mon"
+    ).split(),
+}
+
+
+def _in_arr(arr: Column):
+    # closure factory, NOT a default-arg lambda: F.filter sniffs the
+    # callback arity from the signature, and `lambda x, a=arr:` reads as
+    # binary (see CLAUDE.md / round-1 notes)
+    return lambda x: F.array_contains(arr, x)
+
+
+def lang_id_multi(
+    docs: DataFrame,
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+) -> DataFrame:
+    """Multilingual stopword-evidence language ID: one integer hit-count
+    per language (vectorized membership scan over the staged token
+    array), guess = first language (in ``langs`` priority order) whose
+    hits equal the max, gated at ≥5% of tokens — integer math only, no
+    float ratios, same cross-engine recipe as ``lang_id``.
+
+    Scale shape: a single scan-local projection — the per-language
+    filters all reference the one materialized token array (_t), so the
+    tokenize tree is evaluated once per row however many languages are
+    scored."""
+    pre = _staged_tokens(docs, text_col)
+    t = F.col("_t")
+    hit_cols = [
+        F.size(
+            F.filter(t, _in_arr(F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]])))
+        ).alias(f"{lg}_hits")
+        for lg in langs
+    ]
+    scored = pre.select("doc_id", F.size(t).alias("n_tokens"), *hit_cols)
+    best = F.greatest(*[F.col(f"{lg}_hits") for lg in langs])
+    guess = F.when(F.lit(20) * best < F.col("n_tokens"), F.lit("unknown"))
+    for lg in langs:
+        guess = guess.when(F.col(f"{lg}_hits") == best, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        *[f"{lg}_hits" for lg in langs],
+        guess.otherwise(F.lit("unknown")).alias("lang_guess"),
     )
 
 

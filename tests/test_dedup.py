@@ -12,7 +12,9 @@ from ocr_pipeline_spark.operators.dedup import (
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash_candidate_pairs,
     simhash_signatures,
+    simhash_table_combos,
 )
 
 BASE = (
@@ -75,6 +77,54 @@ def test_simhash_hamming_separates(spark, corpus):
     assert sh[0] == sh[1]
     assert ham(sh[0], sh[2]) <= 12      # near dup: few bits differ
     assert ham(sh[0], sh[4]) >= 15      # unrelated: many bits differ
+
+
+def test_simhash_pairs_exact_recall_at_threshold(spark):
+    """Pigeonhole guarantee: every pair with hamming ≤ max_hamming is
+    found — verified against the brute-force pair set on a corpus with
+    planted bit-level neighbors."""
+    base = 0x0FEDCBA987654321 & ((1 << 60) - 1)
+    sigs = [
+        (0, base),
+        (1, base),                      # hamming 0
+        (2, base ^ 0b101),              # hamming 2
+        (3, base ^ (1 << 59) ^ 1 ^ 2),  # hamming 3, bits in far blocks
+        (4, base ^ 0b11110000),         # hamming 4 → excluded
+        (5, (~base) & ((1 << 60) - 1)), # hamming 60
+    ]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(df).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    want = {
+        (i, j): ham(si, sj)
+        for i, si in sigs
+        for j, sj in sigs
+        if i < j and ham(si, sj) <= 3
+    }
+    assert got == want
+    # and the excluded pairs really are above threshold, not just missed
+    assert ham(sigs[4][1], sigs[0][1]) == 4
+
+
+def test_simhash_table_combos_cover_threshold():
+    # C(6, 3) tables of 3 blocks each — the Manku WWW'07 configuration
+    combos = simhash_table_combos(6, 3)
+    assert len(combos) == 20
+    assert all(len(c) == 3 for c in combos)
+
+
+def test_simhash_pairs_on_text_corpus(spark, corpus):
+    """End-to-end over text: exact dup found at hamming 0; unrelated
+    docs never pair."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(simhash_signatures(corpus)).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 4) not in pairs and (0, 5) not in pairs
 
 
 def test_signatures_independent_of_partitioning(spark, corpus):

@@ -66,6 +66,18 @@ def test_lsh_pairs_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_pairs_is_equi_join(spark):
+    from ocr_pipeline_spark.operators.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(simhash_candidate_pairs(simhash_signatures(docs)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_broadcasts_queries(spark):
     df = entrymod.queries()["sim_topk_bruteforce"](spark, SF_DIR)
     plan = _plan(df)
