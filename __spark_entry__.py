@@ -39,8 +39,10 @@ from ocr_pipeline_spark.operators.dedup import (
     simhash_table_combos,
 )
 from ocr_pipeline_spark.operators.extraction import (
+    debug_overlay_pages,
     explode_blocks,
     extract_pages,
+    refine_sentence_spans,
     regroup_blocks,
     segment_pages,
 )
@@ -266,17 +268,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_moving_avg": _w_moving_avg,
         "p_json_extract": _p_json_extract,
         "set_view_not_error": _set_view_not_error,
-        # -- extraction pipeline (no SQL oracle: synthesized pages input;
-        #    byte-identity enforced by the pytest golden suite) ------------
-        "x_extract_fused": lambda s, d: extract_pages(_synth_pages_df(s)).orderBy(
-            "url"
-        ),
+        # -- extraction pipeline (synthesized pages input; oracles inline
+        #    the pure-Python kernel's outputs over the same deterministic
+        #    corpus — the kernel IS the spec, same oracle as the pytest
+        #    golden suite, surfaced to the driver's value-hash gate).
+        #    error coalesced to '' (never a NULL-mixed hash column) -------
+        "x_extract_fused": lambda s, d: extract_pages(_synth_pages_df(s))
+        .withColumn("error", F.coalesce("error", F.lit("")))
+        .orderBy("url"),
         "x_extract_blocks": lambda s, d: explode_blocks(
             segment_pages(_synth_pages_df(s))
         ).orderBy("url", "block_idx"),
         "x_extract_regroup": lambda s, d: regroup_blocks(
             explode_blocks(segment_pages(_synth_pages_df(s)))
         ).orderBy("url"),
+        # K5 analogue: sentence sub-spans inside kept blocks
+        "x_refine_sentences": lambda s, d: refine_sentence_spans(
+            explode_blocks(segment_pages(_synth_pages_df(s)))
+        ).orderBy("url", "block_idx", "sent_idx"),
+        # K14 analogue (dev-only surface): span-highlight overlay; small
+        # corpus — whole escaped documents are the payload
+        "x_debug_overlay": lambda s, d: debug_overlay_pages(
+            _synth_pages_df(s, n=30)
+        )
+        .select(
+            "url",
+            F.coalesce("overlay", F.lit("")).alias("overlay"),
+            F.coalesce("error", F.lit("")).alias("error"),
+        )
+        .orderBy("url"),
         # S5 result.txt analogue: one TSV line per kept block
         # (pipeline/file_utils.py:48-51 wrote "bbox\ttext"; here
         # "span_start\tspan_end\ttext")
@@ -758,6 +778,163 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+def _extract_expected(n: int = 150, seed: int = 42):
+    """Pure-Python kernel run over the deterministic synth pages — the
+    expected values for the x_extract_* oracles. The kernels are
+    Spark-free BY DESIGN (kernel-is-spec, CLAUDE.md): this is the same
+    oracle the pytest golden suite uses, surfaced to the driver's
+    value-hash gate. Cached: four oracles share one kernel pass."""
+    global _EXTRACT_EXPECTED
+    if _EXTRACT_EXPECTED is None:
+        from ocr_pipeline_spark.kernels.extract import extract_document
+
+        pdf = synth_pages(n, seed=seed)
+        _EXTRACT_EXPECTED = [
+            (u, extract_document(h)) for u, h in zip(pdf.url, pdf.html)
+        ]
+    return _EXTRACT_EXPECTED
+
+
+_EXTRACT_EXPECTED = None
+
+
+def _dbl(v: float) -> str:
+    # shortest round-trip repr, parsed back by DuckDB's string→double
+    # cast — bit-exact for finite doubles (kernel densities always are)
+    return f"'{v!r}'::DOUBLE"
+
+
+def _x_fused_oracle() -> str:
+    rows = [
+        f"('{_sql_quote(u)}', '{_sql_quote(r.text)}', '{r.text_sha256}', "
+        f"{r.n_blocks}, '{r.kind}', '{r.charset}', '{_sql_quote(r.error or '')}')"
+        for u, r in _extract_expected()
+    ]
+    return f"""
+        SELECT url, text, text_sha256, n_blocks::INTEGER AS n_blocks,
+               kind, charset, error
+        FROM (VALUES {", ".join(rows)})
+             t(url, text, text_sha256, n_blocks, kind, charset, error)
+    """
+
+
+def _x_blocks_oracle() -> str:
+    rows = []
+    for u, r in _extract_expected():
+        if r.error is not None:
+            continue
+        for pos, (b, keep) in enumerate(zip(r.blocks, r.flags)):
+            rows.append(
+                f"('{_sql_quote(u)}', {pos}, {b.block_idx}, {b.span_start}, "
+                f"{b.span_end}, {b.n_chars}, {b.n_link_chars}, {b.n_tags}, "
+                f"'{_sql_quote(b.tag_path)}', {_dbl(b.text_density)}, "
+                f"{_dbl(b.link_density)}, {'TRUE' if keep else 'FALSE'}, "
+                f"'{_sql_quote(b.text)}')"
+            )
+    return f"""
+        SELECT url, pos::INTEGER AS pos, block_idx::INTEGER AS block_idx,
+               span_start::BIGINT AS span_start, span_end::BIGINT AS span_end,
+               n_chars::INTEGER AS n_chars,
+               n_link_chars::INTEGER AS n_link_chars,
+               n_tags::INTEGER AS n_tags, tag_path, text_density,
+               link_density, is_content, block_text
+        FROM (VALUES {", ".join(rows)})
+             t(url, pos, block_idx, span_start, span_end, n_chars,
+               n_link_chars, n_tags, tag_path, text_density, link_density,
+               is_content, block_text)
+    """
+
+
+def _x_regroup_oracle() -> str:
+    rows = []
+    for u, r in _extract_expected():
+        if r.error is not None:
+            continue
+        kept = sorted(
+            (b for b, k in zip(r.blocks, r.flags) if k),
+            key=lambda b: b.block_idx,
+        )
+        if not kept:
+            continue
+        text = "\n\n".join(b.text for b in kept)
+        rows.append(f"('{_sql_quote(u)}', '{_sql_quote(text)}', {len(kept)})")
+    return f"""
+        SELECT url, text, n_content_blocks::BIGINT AS n_content_blocks
+        FROM (VALUES {", ".join(rows)}) t(url, text, n_content_blocks)
+    """
+
+
+def _x_tsv_oracle() -> str:
+    rows = []
+    for u, r in _extract_expected():
+        if r.error is not None:
+            continue
+        for b, keep in zip(r.blocks, r.flags):
+            if keep:
+                line = f"{b.span_start}\t{b.span_end}\t{b.text}"
+                rows.append(
+                    f"('{_sql_quote(u)}', {b.block_idx}, '{_sql_quote(line)}')"
+                )
+    return f"""
+        SELECT url, block_idx::INTEGER AS block_idx, tsv_line
+        FROM (VALUES {", ".join(rows)}) t(url, block_idx, tsv_line)
+    """
+
+
+def _x_refine_oracle() -> str:
+    from ocr_pipeline_spark.kernels.refine import refine_sentences
+
+    rows = []
+    for u, r in _extract_expected():
+        if r.error is not None:
+            continue
+        for b, keep in zip(r.blocks, r.flags):
+            if not keep:
+                continue
+            for si, (s, e) in enumerate(refine_sentences(b.text)):
+                rows.append(
+                    f"('{_sql_quote(u)}', {b.block_idx}, {si}, {s}, {e}, "
+                    f"'{_sql_quote(b.text[s:e])}')"
+                )
+    return f"""
+        SELECT url, block_idx::INTEGER AS block_idx,
+               sent_idx::INTEGER AS sent_idx,
+               sent_start::INTEGER AS sent_start,
+               sent_end::INTEGER AS sent_end, sentence
+        FROM (VALUES {", ".join(rows)})
+             t(url, block_idx, sent_idx, sent_start, sent_end, sentence)
+    """
+
+
+def _x_overlay_oracle(n: int = 30, seed: int = 42) -> str:
+    from ocr_pipeline_spark.kernels.extract import (
+        DEFAULT_MAX_PAYLOAD_BYTES,
+        extract_document,
+    )
+    from ocr_pipeline_spark.kernels.htmlkit import decode_payload
+    from ocr_pipeline_spark.kernels.overlay import render_overlay
+
+    pdf = synth_pages(n, seed=seed)
+    rows = []
+    for u, payload in zip(pdf.url, pdf.html):
+        r = extract_document(payload)
+        if r.error is not None:
+            overlay, err = "", r.error
+        elif r.kind != "html":
+            overlay, err = "", "overlay: html documents only"
+        else:
+            doc, _ = decode_payload(bytes(payload)[:DEFAULT_MAX_PAYLOAD_BYTES])
+            overlay, err = render_overlay(doc, r.blocks, r.flags), ""
+        rows.append(
+            f"('{_sql_quote(u)}', '{_sql_quote(overlay)}', '{_sql_quote(err)}')"
+        )
+    return (
+        "SELECT url, overlay, error FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(url, overlay, error)"
+    )
+
+
 def _mm_decode_meta_oracle(n: int = 200) -> str:
     """Expected metadata for the deterministic synth media table, computed
     by the SAME ``_parse`` kernel the Spark UDF calls and inlined as a
@@ -1206,6 +1383,14 @@ def oracle_sql() -> dict[str, str]:
         # expressible over the pre-registered views)
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),
+        # extraction flagship: expectations from the Spark-free kernel
+        # pass over the same deterministic corpus (kernel-is-spec)
+        "x_extract_fused": _x_fused_oracle(),
+        "x_extract_blocks": _x_blocks_oracle(),
+        "x_extract_regroup": _x_regroup_oracle(),
+        "x_tsv_lines": _x_tsv_oracle(),
+        "x_refine_sentences": _x_refine_oracle(),
+        "x_debug_overlay": _x_overlay_oracle(),
         # url canonicalization: deterministic input urls inlined; DuckDB
         # recomputes the chain independently via CANON_STEPS_SQL
         "url_canonical": f"""

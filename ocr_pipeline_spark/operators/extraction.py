@@ -32,7 +32,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.extract import extract_document
+from ..kernels.extract import DEFAULT_MAX_PAYLOAD_BYTES, extract_document
+from ..kernels.htmlkit import decode_payload
+from ..kernels.overlay import render_overlay
+from ..kernels.refine import refine_sentences
 
 __all__ = [
     "EXTRACTED_SCHEMA",
@@ -42,6 +45,8 @@ __all__ = [
     "explode_blocks",
     "regroup_blocks",
     "regroup_blocks_grouped",
+    "refine_sentence_spans",
+    "debug_overlay_pages",
 ]
 
 # Output of the fused path (FIXTURES.md §3 'extracted').
@@ -189,4 +194,85 @@ def regroup_blocks_grouped(blocks: DataFrame, sep: str = "\n\n") -> DataFrame:
         .select("url", "block_idx", "block_text")
         .groupBy("url")
         .applyInPandas(fn, schema="url string, text string, n_content_blocks long")
+    )
+
+
+def refine_sentence_spans(blocks: DataFrame) -> DataFrame:
+    """K5 analogue: kept blocks → per-sentence sub-span rows
+    (kernels/refine.py is the spec; see its docstring for the reference
+    citation and the offsets-are-block-relative contract).
+
+    Narrow Arrow-batched pass over ``explode_blocks`` output — fan-out
+    only, no shuffle; block text already crossed into rows upstream, so
+    only the kept subset is re-scanned here."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, bidx, text, keep in zip(
+                pdf["url"], pdf["block_idx"], pdf["block_text"], pdf["is_content"]
+            ):
+                if not keep:
+                    continue
+                for si, (s, e) in enumerate(refine_sentences(text)):
+                    rows.append((url, int(bidx), si, s, e, text[s:e]))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "url",
+                        "block_idx",
+                        "sent_idx",
+                        "sent_start",
+                        "sent_end",
+                        "sentence",
+                    ],
+                )
+
+    return blocks.select(
+        "url", "block_idx", "block_text", "is_content"
+    ).mapInPandas(
+        fn,
+        schema=(
+            "url string, block_idx int, sent_idx int, sent_start int, "
+            "sent_end int, sentence string"
+        ),
+    )
+
+
+def debug_overlay_pages(pages: DataFrame) -> DataFrame:
+    """K14 analogue, DEV-ONLY (kernels/overlay.py is the spec): renders
+    each HTML page with its block spans highlighted for visual QA. Whole
+    documents cross into Python and the payload is decoded twice — never
+    put this in a production plan; ``.limit()`` the input. PDF and
+    undecodable pages yield an error row instead of an overlay."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            urls, overlays, errors = [], [], []
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                r = extract_document(payload)
+                urls.append(url)
+                if r.error is not None:
+                    overlays.append(None)
+                    errors.append(r.error)
+                elif r.kind != "html":
+                    overlays.append(None)
+                    errors.append("overlay: html documents only")
+                else:
+                    # same truncation contract as extract_document, so
+                    # the spans index the same decoded string
+                    doc, _ = decode_payload(
+                        payload[:DEFAULT_MAX_PAYLOAD_BYTES]
+                    )
+                    overlays.append(render_overlay(doc, r.blocks, r.flags))
+                    errors.append(None)
+            yield pd.DataFrame(
+                {"url": urls, "overlay": overlays, "error": errors}
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        fn, schema="url string, overlay string, error string"
     )
