@@ -187,7 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("fp").isNotNull()),
         # -- training-data ops: similarity search --------------------------
         "sim_topk_bruteforce": _sim_topk_bruteforce,
-        "sim_near_dup": lambda s, d: cosine_near_dup(_t(s, d, "embeddings")),
+        # threshold 0.3: the synth embeddings have no cos>=0.5 pairs —
+        # a 0-row result would be a vacuous value check (103 pairs at
+        # sf0.01 this way; the operator default stays 0.7)
+        "sim_near_dup": lambda s, d: cosine_near_dup(
+            _t(s, d, "embeddings"), threshold=0.3
+        ),
         # ann/ivf: LSH and inverted-file scale paths — oracles replay the
         # same md5-seeded plane/centroid constants in SQL; recall is
         # additionally quantified vs brute force in tests/
@@ -197,9 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": lambda s, d: ivf_topk(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
-        # numpy/Arrow GEMM variant — no oracle (BLAS summation is not a
-        # sequential fold); agreement with sim_topk_bruteforce asserted
-        # in tests/test_similarity.py
+        # numpy/Arrow GEMM variant — shares the fold oracle: both round
+        # to 4 decimals before ranking (round-then-rank), absorbing the
+        # BLAS-vs-fold summation delta; agreement also asserted in
+        # tests/test_similarity.py
         "sim_topk_arrow": lambda s, d: brute_force_topk_arrow(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
@@ -363,9 +369,16 @@ def _j3_regroup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _j4_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: anti-join (failure-routing analogue)."""
+    """J4: anti-join (failure-routing analogue). Restricted to recent
+    orders so the result is NONEMPTY at the driver's sf — an all-rows-
+    match on an empty set proves nothing (every customer has *some*
+    order in this data)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
@@ -640,10 +653,23 @@ def _t_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _set_view_not_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: users who viewed but never errored (EXCEPT)."""
-    ev = _t(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    """Set op: (user, day) pairs with views but no errors (EXCEPT).
+    Keyed per-day, not per-user, so the result is NONEMPTY at the
+    driver's sf (every user errors *eventually* in this data — a 0-row
+    EXCEPT would be a vacuous value check)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "day")
+        .distinct()
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", "day")
+        .distinct()
+    )
     return views.exceptAll(errs)
 
 
@@ -1083,7 +1109,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j4_anti_customers": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= timestamp '1998-01-01')
         """,
         "o4_top_order_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1268,7 +1296,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT doc_id, unnest(fps) AS fp FROM m
         """,
-        "sim_near_dup": _near_dup_sql(),
+        "sim_near_dup": _near_dup_sql(threshold=0.3),
         "sim_ann_topk": _ann_topk_sql([0, 1, 2, 3, 4]),
         "sim_ivf_topk": _ivf_topk_sql([0, 1, 2, 3, 4]),
         "cur_exact_keep": f"""
@@ -1363,11 +1391,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE json_extract_string(props, '$.k')::INT >= 50
         """,
         "set_view_not_error": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            SELECT DISTINCT user_id, cast(ts as date) AS day
+            FROM events WHERE event_type = 'view'
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            SELECT DISTINCT user_id, cast(ts as date)
+            FROM events WHERE event_type = 'error'
         """,
         "sim_topk_bruteforce": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+            s AS (SELECT query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim
+                  FROM e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, rank, neighbor_id, cos_sim FROM (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        # BLAS/Arrow variant: same oracle as the fold — both sides round
+        # cos to 4 decimals BEFORE ranking with an id tie-break
+        # (round-then-rank), which absorbs the summation-order delta;
+        # bit-level agreement of the rounded outputs is also asserted in
+        # tests/test_similarity.py. A rounding-boundary straddle would
+        # surface here as a hash mismatch — that is what the gate is for.
+        "sim_topk_arrow": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
             s AS (SELECT query_id, e.vec_id AS neighbor_id, {cos} AS cos_sim

@@ -113,10 +113,12 @@ def brute_force_topk_arrow(
     Measured ~3× faster than the expression-fold ``brute_force_topk`` at
     64 dims / 50 queries, and the gap widens with dim × |Q| — this is the
     hot path for real embedding widths (768+), where per-element
-    interpreted folds lose to BLAS. Trade-off: numpy's pairwise/SIMD
-    summation is not bit-identical to a sequential fold, so this variant
-    has no DuckDB oracle; the test suite asserts agreement with
-    ``brute_force_topk`` instead. Same output contract."""
+    interpreted folds lose to BLAS. numpy's pairwise/SIMD summation is
+    not bit-identical to a sequential fold, but both variants round cos
+    to 4 decimals BEFORE ranking with an id tie-break (round-then-rank),
+    which absorbs the ~1e-15 summation-order delta — so this variant
+    shares the fold's DuckDB oracle, and the test suite asserts
+    agreement with ``brute_force_topk``. Same output contract."""
     import numpy as np
     import pandas as pd
 
