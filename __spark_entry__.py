@@ -63,7 +63,13 @@ from ocr_pipeline_spark.operators.similarity import (
     ivf_topk,
     _plane_constants,
 )
-from ocr_pipeline_spark.operators.splits import hash_split
+from ocr_pipeline_spark.operators.pii import (
+    PII_COUNT_SQL,
+    PII_SAMPLES,
+    PII_STEPS_SQL,
+    with_scrubbed_text,
+)
+from ocr_pipeline_spark.operators.splits import hash_split, stratified_sample
 from ocr_pipeline_spark.operators.urlkit import (
     CANON_STEPS_SQL,
     EDGE_URLS,
@@ -81,6 +87,7 @@ from ocr_pipeline_spark.operators.textstats import (
     lang_id,
     lang_id_multi,
     quality_flags,
+    repetition_stats,
     rolling_hash,
     token_stats,
     winnow_fingerprints,
@@ -162,6 +169,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality_flags": lambda s, d: quality_flags(_t(s, d, "documents")),
         "ts_langid": lambda s, d: lang_id(_t(s, d, "documents")),
         "ts_langid_multi": lambda s, d: lang_id_multi(_t(s, d, "documents")),
+        # Gopher-style repetition filters (gram text never crosses the
+        # shuffle — hashed keys only; see repetition_stats docstring)
+        "ts_repetition": lambda s, d: repetition_stats(_t(s, d, "documents")),
+        # PII redaction over documents + the planted PII_SAMPLES corpus
+        # (clean synth text alone would make the check near-vacuous)
+        "ts_pii_scrub": lambda s, d: with_scrubbed_text(
+            _t(s, d, "documents")
+            .select("doc_id", "text")
+            .union(
+                s.createDataFrame(
+                    [(1_000_000 + i, t) for i, t in enumerate(PII_SAMPLES)],
+                    "doc_id long, text string",
+                )
+            )
+        ).select("doc_id", "scrubbed", "n_email", "n_ip", "n_phone"),
         # -- training-data ops: dedup --------------------------------------
         "dd_exact": lambda s, d: exact_dedup(_t(s, d, "documents")),
         "dd_minhash": lambda s, d: minhash_signatures(_t(s, d, "documents")),
@@ -263,6 +285,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents").select("doc_id"),
             "doc_id",
             {"train": 0.8, "valid": 0.1, "test": 0.1},
+        ),
+        # deterministic per-stratum downsampling (data-mixing primitive)
+        "sp_stratified": lambda s, d: stratified_sample(
+            _t(s, d, "documents").select("doc_id", "lang"),
+            id_col="doc_id",
+            strata_col="lang",
+            rates={"en": 0.5, "de": 1.0, "fr": 0.25},
+            default_rate=0.1,
         ),
         # -- temporal: as-of join / interval join / session windows --------
         "t_asof_last_click": _t_asof_last_click,
@@ -1241,6 +1271,36 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
             + "]"
         ),
+        "ts_repetition": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     unnest(case when len({_TOKS}) < 2 then [{_NORM}]
+                            else list_transform(range(0, len({_TOKS}) - 1),
+                                 i -> array_to_string(({_TOKS})[i+1:i+2], ' ')) end) AS g
+              FROM documents),
+            pg AS (SELECT doc_id, substr(md5(g), 1, 16) AS gk, count(*) AS c
+                   FROM g GROUP BY 1, 2)
+            SELECT doc_id, cast(sum(c) as bigint) AS n_grams,
+                   count(*) AS n_distinct_grams,
+                   cast(max(c) as bigint) AS top_gram_count,
+                   round(1.0 - count(*) / sum(c), 4) AS rep_ratio,
+                   round(max(c) / sum(c), 4) AS top_gram_frac
+            FROM pg GROUP BY doc_id
+        """,
+        "ts_pii_scrub": f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {", ".join(
+                  f"({1_000_000 + i}::BIGINT, '{_sql_quote(t)}')"
+                  for i, t in enumerate(PII_SAMPLES)
+              )}) t(doc_id, text))
+            SELECT doc_id, {PII_STEPS_SQL("text")} AS scrubbed,
+                   {PII_COUNT_SQL("text", 0)}::INTEGER AS n_email,
+                   {PII_COUNT_SQL("text", 1)}::INTEGER AS n_ip,
+                   {PII_COUNT_SQL("text", 2)}::INTEGER AS n_phone
+            FROM src
+        """,
         "dd_exact": f"""
             SELECT substr(md5({_NORM}), 1, 16) AS fingerprint,
                    count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -1319,6 +1379,14 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    event_type, count(*) AS n_docs
             FROM events GROUP BY 1, 2, 3
+        """,
+        "sp_stratified": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('strat0_' || doc_id::VARCHAR), 1, 12))::BIGINT % 10000 AS b
+              FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                                WHEN 'fr' THEN 2500 ELSE 1000 END
         """,
         "sp_hash_split": """
             SELECT doc_id,

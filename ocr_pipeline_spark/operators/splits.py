@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .textstats import _token_hash
 
-__all__ = ["split_label", "hash_split", "domain_split"]
+__all__ = ["split_label", "hash_split", "domain_split", "stratified_sample"]
 
 _MOD = 10_000
 
@@ -55,6 +55,42 @@ def hash_split(
 ) -> DataFrame:
     """df + 'split' column keyed on the row id."""
     return df.withColumn("split", split_label(F.col(id_col), fractions, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "strat0",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing primitive
+    (keep X% of lang='en', Y% of lang='ko', …). Same guarantees as
+    hash_split: a row's fate is a pure function of its id, stable under
+    reruns / repartitioning / appends, and the same row is kept at every
+    rate ≥ its hash point (rates can be raised later without resampling
+    the already-kept set — nested samples).
+
+    Scale shape: a scan-local filter on two cheap expressions (md5 +
+    case over the stratum) — no shuffle, no per-stratum pass; pushdown
+    keeps it at the source when the stratum column is a partition key.
+    """
+    bucket = (
+        _token_hash(F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string")))
+        % _MOD
+    )
+    thr: Column | None = None
+    for name, rate in rates.items():
+        cond = F.col(strata_col) == name
+        lim = F.lit(int(round(rate * _MOD)))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = (
+        thr.otherwise(int(round(default_rate * _MOD)))
+        if thr is not None
+        else F.lit(int(round(default_rate * _MOD)))
+    )
+    return df.filter(bucket < thr)
 
 
 def domain_split(

@@ -30,6 +30,7 @@ __all__ = [
     "LANG_STOPWORDS",
     "annotate_quality",
     "fingerprint",
+    "repetition_stats",
     "rolling_hash",
     "winnow_fingerprints",
 ]
@@ -245,6 +246,51 @@ def annotate_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_tok.alias("n_tokens"),
         (len_ok & wlen_ok & stop_ok).alias("is_quality"),
         guess.alias("lang_guess"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style within-document repetition evidence (the standard
+    repetition filters of large-corpus curation — duplicate-n-gram
+    fraction, modal-n-gram fraction; Rae et al. 2021 §A1.1, C4's
+    heuristics): per doc, total / distinct / modal word-n-gram counts
+    plus rounded ratios. High ``rep_ratio`` or ``top_gram_frac`` marks
+    boilerplate-loop and template pages for the curation gates.
+
+    Relational shape (scale rules): n-grams are exploded and counted by
+    (doc_id, md5-hash key) — the gram TEXT never crosses the shuffle,
+    only doc_id + a 16-hex key; the count is a partial aggregate
+    (map-side combine) and the per-doc rollup reuses the same doc_id
+    partitioning. Docs shorter than ``n`` tokens fall back to one
+    whole-text gram (mirrors the shingle fallback), so every input doc
+    yields exactly one output row."""
+    pre = _staged_tokens(docs, text_col)
+    t, nm = F.col("_t"), F.col("_n")
+    gram = F.when(
+        F.size(t) < n, F.array(nm)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+    )
+    grams = pre.select("doc_id", F.explode_outer(gram).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    per_gram = grams.select(
+        "doc_id",
+        F.substring(F.md5(F.encode(F.col("g"), "UTF-8")), 1, 16).alias("gk"),
+    ).groupBy("doc_id", "gk").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4
+        ).alias("rep_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_gram_frac"),
     )
 
 

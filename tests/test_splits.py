@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.partitioning import domain_of
-from ocr_pipeline_spark.operators.splits import domain_split, hash_split
+from ocr_pipeline_spark.operators.splits import (
+    domain_split,
+    hash_split,
+    stratified_sample,
+)
 
 FR = {"train": 0.8, "valid": 0.1, "test": 0.1}
 
@@ -29,6 +33,42 @@ def test_hash_split_fractions_and_stability(spark):
         .count()
     )
     assert diff > 1000
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    docs = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_rate=0.0
+    )
+    counts = {
+        r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()
+    }
+    assert "zh" not in counts                      # default 0 drops stratum
+    assert abs(counts["en"] / 10_000 - 0.5) < 0.02
+    assert abs(counts["de"] / 10_000 - 0.1) < 0.01
+    # nested-sample property: raising a rate only ADDS rows
+    small = set(r["doc_id"] for r in kept.collect())
+    bigger = set(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.8, "de": 0.3}, default_rate=0.0
+        ).collect()
+    )
+    assert small <= bigger
+    # rerun/repartition stability
+    again = set(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), "doc_id", "lang", {"en": 0.5, "de": 0.1}
+        ).collect()
+    )
+    assert small == again
 
 
 def test_domain_split_no_leakage(spark, pages_df):

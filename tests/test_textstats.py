@@ -6,9 +6,11 @@ from __future__ import annotations
 
 import pytest
 
+from ocr_pipeline_spark.operators.pii import PII_SAMPLES, with_scrubbed_text
 from ocr_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
     lang_id_multi,
+    repetition_stats,
 )
 
 SAMPLES = [
@@ -55,3 +57,37 @@ def test_stopword_lists_are_normalized():
         assert words == [w.lower() for w in words], lg
         assert len(words) >= 30, lg
         assert len(set(words)) == len(words), lg
+
+
+def test_repetition_separates_loops_from_prose(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),
+        (1, "a varied sentence with mostly distinct word pairs here"),
+        (2, "x"),                       # shorter than the gram width
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {0, 1, 2}        # every doc yields a row
+    assert got[0]["rep_ratio"] > 0.8    # one gram repeated 7 times
+    assert got[0]["top_gram_frac"] == 1.0
+    assert got[1]["rep_ratio"] == 0.0   # all pairs distinct
+    assert got[2]["n_grams"] == 1 and got[2]["top_gram_count"] == 1
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_SAMPLES)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in with_scrubbed_text(df).collect()}
+    assert "<EMAIL>" in got[0]["scrubbed"] and got[0]["n_email"] == 1
+    assert got[1]["scrubbed"].count("<IP>") == 2 and got[1]["n_ip"] == 2
+    assert got[2]["scrubbed"].count("<PHONE>") == 2 and got[2]["n_phone"] == 2
+    # precedence: an email's digits/dots never half-match as ip/phone
+    assert got[3]["n_email"] == got[3]["n_ip"] == got[3]["n_phone"] == 1
+    # clean text is untouched
+    assert got[4]["scrubbed"] == PII_SAMPLES[4]
+    assert got[5]["scrubbed"] == PII_SAMPLES[5]
+    # no raw pii survives anywhere
+    for r in got.values():
+        assert "@example" not in r["scrubbed"]
+        assert "192.168" not in r["scrubbed"]
