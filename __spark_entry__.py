@@ -267,6 +267,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_exact_keep": lambda s, d: curate(
             _t(s, d, "documents"), langs=("en",), dedup="exact"
         ).select("doc_id"),
+        # full pipeline: quality + lang + repetition drop + exact dedup
+        # + PII scrub (threshold 0.08 ~ p95 of the synth corpus, so the
+        # repetition gate demonstrably fires)
+        "cur_full_keep": lambda s, d: curate(
+            _t(s, d, "documents"),
+            langs=("en",),
+            dedup="exact",
+            max_rep_ratio=0.08,
+            scrub=True,
+        ).select("doc_id", "text"),
         # -- streaming operator in batch mode (identical plan) -------------
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
@@ -1373,6 +1383,36 @@ def oracle_sql() -> dict[str, str]:
                 AND (20 * stop_hits >= n_tokens)),
             canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp)
             SELECT doc_id FROM kept WHERE doc_id IN (SELECT doc_id FROM canon)
+        """,
+        "cur_full_keep": f"""
+            WITH t AS (
+              SELECT doc_id, text, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS stop_hits,
+                     substr(md5({_NORM}), 1, 16) AS fp
+              FROM documents),
+            kept0 AS (
+              SELECT doc_id, text, fp FROM t
+              WHERE (n_tokens >= 5 AND n_tokens <= 100000)
+                AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens)
+                AND (50 * stop_hits >= n_tokens)
+                AND (20 * stop_hits >= n_tokens)),
+            g AS (
+              SELECT doc_id,
+                     unnest(case when len({_TOKS}) < 2 then [{_NORM}]
+                            else list_transform(range(0, len({_TOKS}) - 1),
+                                 i -> array_to_string(({_TOKS})[i+1:i+2], ' ')) end) AS g
+              FROM documents WHERE doc_id IN (SELECT doc_id FROM kept0)),
+            pg AS (SELECT doc_id, substr(md5(g), 1, 16) AS gk, count(*) AS c
+                   FROM g GROUP BY 1, 2),
+            rep AS (SELECT doc_id, round(1.0 - count(*) / sum(c), 4) AS rep_ratio
+                    FROM pg GROUP BY doc_id),
+            kept1 AS (
+              SELECT k.doc_id, k.text, k.fp FROM kept0 k
+              JOIN rep r ON r.doc_id = k.doc_id
+              WHERE r.rep_ratio <= 0.08),
+            canon AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY fp)
+            SELECT doc_id, {PII_STEPS_SQL("text")} AS text
+            FROM kept1 WHERE doc_id IN (SELECT doc_id FROM canon)
         """,
         "st_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

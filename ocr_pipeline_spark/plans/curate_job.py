@@ -36,7 +36,8 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from ..operators.textstats import annotate_quality
+from ..operators.pii import scrub_pii
+from ..operators.textstats import annotate_quality, repetition_stats
 
 __all__ = ["extracted_as_documents", "curate", "run_curation"]
 
@@ -62,9 +63,18 @@ def curate(
     langs: tuple[str, ...] | None = ("en",),
     dedup: str | None = "exact",
     jaccard_threshold: float = 0.8,
+    max_rep_ratio: float | None = None,
+    scrub: bool = False,
 ) -> DataFrame:
-    """The lazy plan: quality gate + language filter + dedup drop.
-    ``dedup``: None | 'exact' | 'minhash'.
+    """The lazy plan: quality gate + language filter [+ repetition drop]
+    + dedup drop [+ PII scrub]. ``dedup``: None | 'exact' | 'minhash'.
+
+    ``max_rep_ratio``: drop docs whose Gopher-style 2-gram repetition
+    ratio exceeds the threshold (repetition_stats over the gated subset;
+    the drop list is (doc_id)-only and joins back left_anti — at web
+    repetition rates it is the small broadcastable side, same discipline
+    as the dedup drop list). ``scrub``: redact PII in the surviving text
+    (narrow regexp chain, applied LAST so it runs on the smallest set).
 
     The quality/lang flags are computed as NARROW columns on the docs
     rows (annotate_quality — staged projections, zero shuffle). Dedup
@@ -81,6 +91,13 @@ def curate(
     kept = annotate_quality(docs).filter(F.col("is_quality"))
     if langs is not None:
         kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+    if max_rep_ratio is not None:
+        rep_drops = (
+            repetition_stats(kept)
+            .filter(F.col("rep_ratio") > max_rep_ratio)
+            .select("doc_id")
+        )
+        kept = kept.join(rep_drops, "doc_id", "left_anti")
     if dedup == "exact":
         canon = exact_dedup(kept).select(
             F.col("canonical_doc_id").alias("doc_id")
@@ -98,6 +115,8 @@ def curate(
         kept = kept.join(drops, "doc_id", "left_anti")
     elif dedup is not None:
         raise ValueError(f"unknown dedup mode: {dedup}")
+    if scrub:
+        kept = kept.withColumn("text", scrub_pii(F.col("text")))
     return kept
 
 

@@ -93,3 +93,32 @@ def test_curation_on_driver_documents(spark):
     kept = curate(docs, langs=None, dedup="exact")
     assert 0 < kept.count() <= docs.count()
     assert kept.filter(F.col("is_quality") == False).count() == 0  # noqa: E712
+
+
+def test_repetition_gate_and_scrub(spark):
+    loopy = ("the spam the spam " * 12) + "ends here now"
+    pii = (
+        "the report said contact the admin at root@example.com for the "
+        "server at 10.0.0.5 and the team fixed the issue after the call"
+    )
+    rows = [
+        (0, GOOD, "en", "web", len(GOOD)),
+        (1, loopy, "en", "web", len(loopy)),
+        (2, pii, "en", "web", len(pii)),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate(
+            corpus, dedup="exact", max_rep_ratio=0.5, scrub=True
+        ).collect()
+    }
+    assert 1 not in out                 # repetition gate dropped the loop
+    assert 0 in out and out[0] == GOOD  # clean text untouched
+    assert "<EMAIL>" in out[2] and "<IP>" in out[2]
+    assert "root@example.com" not in out[2]
+    # without the gate the loopy doc survives (it passes quality)
+    kept_nogate = {r["doc_id"] for r in curate(corpus, dedup="exact").collect()}
+    assert 1 in kept_nogate

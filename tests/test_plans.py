@@ -66,6 +66,39 @@ def test_lsh_pairs_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_stratified_sample_is_narrow(spark):
+    from ocr_pipeline_spark.operators.splits import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(
+        stratified_sample(
+            docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 0.5}
+        )
+    )
+    assert "Exchange" not in plan       # pure scan-local filter
+
+
+def test_pii_scrub_is_narrow(spark):
+    from ocr_pipeline_spark.operators.pii import with_scrubbed_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(with_scrubbed_text(docs.select("doc_id", "text")))
+    assert "Exchange" not in plan
+
+
+def test_repetition_gram_text_never_shuffles(spark):
+    """The scale contract of repetition_stats: exchanges carry only
+    doc_id + the 16-hex gram key, never the gram string column."""
+    from ocr_pipeline_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(repetition_stats(docs))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchanges  # partial agg + rollup do shuffle (keys only)
+    for ln in exchanges:
+        assert " g#" not in ln and "(g#" not in ln
+
+
 def test_simhash_pairs_is_equi_join(spark):
     from ocr_pipeline_spark.operators.dedup import (
         simhash_candidate_pairs,
