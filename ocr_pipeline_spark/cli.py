@@ -78,7 +78,8 @@ def _cmd_curate(args) -> None:
     docs = spark.read.parquet(args.input)
     langs = tuple(args.langs.split(",")) if args.langs else None
     run_curation(
-        spark, docs, args.out, langs=langs, dedup=args.dedup or None
+        spark, docs, args.out, langs=langs, dedup=args.dedup or None,
+        max_rep_ratio=args.max_rep_ratio, scrub=args.scrub,
     )
 
 
@@ -126,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--dedup", default="exact", choices=["exact", "minhash", ""]
     )
+    p.add_argument("--max-rep-ratio", type=float, default=None,
+                   help="drop docs whose 2-gram repetition ratio exceeds this")
+    p.add_argument("--scrub", action="store_true",
+                   help="redact PII in the surviving text")
     p.set_defaults(fn=_cmd_curate)
 
     p = sub.add_parser("warc", help="ingest WARC archives into a pages table")

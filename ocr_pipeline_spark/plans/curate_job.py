@@ -126,11 +126,16 @@ def run_curation(
     out_path: str,
     langs: tuple[str, ...] | None = ("en",),
     dedup: str | None = "exact",
+    max_rep_ratio: float | None = None,
+    scrub: bool = False,
 ) -> dict:
     """Run curation, write the kept corpus, return a summary dict
     (counts in/out — the per-stage metrics line of this job)."""
     n_in = docs.count()
-    kept = curate(docs, langs=langs, dedup=dedup)
+    kept = curate(
+        docs, langs=langs, dedup=dedup,
+        max_rep_ratio=max_rep_ratio, scrub=scrub,
+    )
     kept.write.mode("overwrite").parquet(out_path)
     n_out = spark.read.parquet(out_path).count()
     summary = {
