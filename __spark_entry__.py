@@ -849,19 +849,29 @@ def _extract_expected(n: int = 150, seed: int = 42):
     expected values for the x_extract_* oracles. The kernels are
     Spark-free BY DESIGN (kernel-is-spec, CLAUDE.md): this is the same
     oracle the pytest golden suite uses, surfaced to the driver's
-    value-hash gate. Cached: four oracles share one kernel pass."""
-    global _EXTRACT_EXPECTED
-    if _EXTRACT_EXPECTED is None:
+    value-hash gate. Cached per (n, seed): the oracles share one kernel
+    pass per corpus."""
+    key = (n, seed)
+    if key not in _EXTRACT_EXPECTED:
         from ocr_pipeline_spark.kernels.extract import extract_document
 
         pdf = synth_pages(n, seed=seed)
-        _EXTRACT_EXPECTED = [
-            (u, extract_document(h)) for u, h in zip(pdf.url, pdf.html)
+        _EXTRACT_EXPECTED[key] = [
+            (u, h, extract_document(h)) for u, h in zip(pdf.url, pdf.html)
         ]
-    return _EXTRACT_EXPECTED
+    return _EXTRACT_EXPECTED[key]
 
 
-_EXTRACT_EXPECTED = None
+_EXTRACT_EXPECTED: dict = {}
+
+
+def _synth_media_cached(n: int = 200):
+    if n not in _SYNTH_MEDIA:
+        _SYNTH_MEDIA[n] = synth_media(n)
+    return _SYNTH_MEDIA[n]
+
+
+_SYNTH_MEDIA: dict = {}
 
 
 def _dbl(v: float) -> str:
@@ -874,7 +884,7 @@ def _x_fused_oracle() -> str:
     rows = [
         f"('{_sql_quote(u)}', '{_sql_quote(r.text)}', '{r.text_sha256}', "
         f"{r.n_blocks}, '{r.kind}', '{r.charset}', '{_sql_quote(r.error or '')}')"
-        for u, r in _extract_expected()
+        for u, _, r in _extract_expected()
     ]
     return f"""
         SELECT url, text, text_sha256, n_blocks::INTEGER AS n_blocks,
@@ -886,7 +896,7 @@ def _x_fused_oracle() -> str:
 
 def _x_blocks_oracle() -> str:
     rows = []
-    for u, r in _extract_expected():
+    for u, _, r in _extract_expected():
         if r.error is not None:
             continue
         for pos, (b, keep) in enumerate(zip(r.blocks, r.flags)):
@@ -913,7 +923,7 @@ def _x_blocks_oracle() -> str:
 
 def _x_regroup_oracle() -> str:
     rows = []
-    for u, r in _extract_expected():
+    for u, _, r in _extract_expected():
         if r.error is not None:
             continue
         kept = sorted(
@@ -932,7 +942,7 @@ def _x_regroup_oracle() -> str:
 
 def _x_tsv_oracle() -> str:
     rows = []
-    for u, r in _extract_expected():
+    for u, _, r in _extract_expected():
         if r.error is not None:
             continue
         for b, keep in zip(r.blocks, r.flags):
@@ -951,7 +961,7 @@ def _x_refine_oracle() -> str:
     from ocr_pipeline_spark.kernels.refine import refine_sentences
 
     rows = []
-    for u, r in _extract_expected():
+    for u, _, r in _extract_expected():
         if r.error is not None:
             continue
         for b, keep in zip(r.blocks, r.flags):
@@ -973,17 +983,14 @@ def _x_refine_oracle() -> str:
 
 
 def _x_overlay_oracle(n: int = 30, seed: int = 42) -> str:
-    from ocr_pipeline_spark.kernels.extract import (
-        DEFAULT_MAX_PAYLOAD_BYTES,
-        extract_document,
-    )
+    from ocr_pipeline_spark.kernels.extract import DEFAULT_MAX_PAYLOAD_BYTES
     from ocr_pipeline_spark.kernels.htmlkit import decode_payload
     from ocr_pipeline_spark.kernels.overlay import render_overlay
 
-    pdf = synth_pages(n, seed=seed)
+    # synth_pages is sequentially seeded, so pages(30) is a prefix of the
+    # cached pages(150) kernel pass (pinned by test_entry)
     rows = []
-    for u, payload in zip(pdf.url, pdf.html):
-        r = extract_document(payload)
+    for u, payload, r in _extract_expected(seed=seed)[:n]:
         if r.error is not None:
             overlay, err = "", r.error
         elif r.kind != "html":
@@ -1009,19 +1016,21 @@ def _mm_decode_meta_oracle(n: int = 200) -> str:
     kind/error → '', missing dims → -1."""
     import hashlib
 
-    pdf = synth_media(n)
+    pdf = _synth_media_cached(n)
     rows = []
     for mid, url, payload in zip(pdf.media_id, pdf.url, pdf.payload):
         meta, err = _media_parse(payload)
         meta = meta or {}
         sha = hashlib.sha256(bytes(payload)).hexdigest()
+        def dim(k: str) -> int:
+            v = meta.get(k)
+            return -1 if v is None else v
+
         rows.append(
             f"({int(mid)}, '{_sql_quote(url)}', "
             f"'{_sql_quote(meta.get('kind') or '')}', "
-            f"{meta.get('width', -1) if meta.get('width') is not None else -1}, "
-            f"{meta.get('height', -1) if meta.get('height') is not None else -1}, "
-            f"{meta.get('n_frames', -1) if meta.get('n_frames') is not None else -1}, "
-            f"{meta.get('sample_rate', -1) if meta.get('sample_rate') is not None else -1}, "
+            f"{dim('width')}, {dim('height')}, {dim('n_frames')}, "
+            f"{dim('sample_rate')}, "
             f"{len(payload)}, '{sha}', '{_sql_quote(err or '')}')"
         )
     return f"""
@@ -1040,7 +1049,7 @@ def _mm_features_oracle(n: int = 200) -> str:
     """Expected feature strings, computed by the SAME feature_of /
     format_feature kernels the Spark UDF calls (multimodal.py) — byte
     parity by construction."""
-    pdf = synth_media(n)
+    pdf = _synth_media_cached(n)
     values = ", ".join(
         f"({int(mid)}, '{format_feature(feature_of(payload))}')"
         for mid, payload in zip(pdf.media_id, pdf.payload)
@@ -1053,9 +1062,9 @@ def _mm_features_oracle(n: int = 200) -> str:
 
 def _url_corpus(n: int = 150, seed: int = 42) -> list[str]:
     """The url_canonical input rows: synth-page urls (deterministic for
-    (n, seed)) + the EDGE_URLS rewrite-step corpus. Mirrors the Spark
-    query's union exactly."""
-    return list(synth_pages(n, seed=seed)["url"]) + list(EDGE_URLS)
+    (n, seed), from the cached kernel pass) + the EDGE_URLS rewrite-step
+    corpus. Mirrors the Spark query's union exactly."""
+    return [u for u, _, _ in _extract_expected(n, seed)] + list(EDGE_URLS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1516,12 +1525,14 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos_sim DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
         """,
-        # BLAS/Arrow variant: same oracle as the fold — both sides round
-        # cos to 4 decimals BEFORE ranking with an id tie-break
-        # (round-then-rank), which absorbs the summation-order delta;
-        # bit-level agreement of the rounded outputs is also asserted in
-        # tests/test_similarity.py. A rounding-boundary straddle would
-        # surface here as a hash mismatch — that is what the gate is for.
+        # BLAS/Arrow variant: same oracle as the fold — the UDF emits
+        # unrounded doubles and rounding happens JVM-side (F.round, the
+        # same HALF_UP-on-shortest-repr rule the fold and DuckDB use),
+        # then round-then-rank with an id tie-break. The only remaining
+        # cross-engine delta is the ~1e-15 BLAS-vs-fold summation
+        # straddle of a rounding boundary, which would surface here as a
+        # hash mismatch — that is what the gate is for. Agreement with
+        # the fold is also asserted in tests/test_similarity.py.
         "sim_topk_arrow": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
@@ -1550,6 +1561,6 @@ def oracle_sql() -> dict[str, str]:
         # recomputes the chain independently via CANON_STEPS_SQL
         "url_canonical": f"""
             SELECT url, {CANON_STEPS_SQL("url")} AS canonical_url
-            FROM (VALUES {", ".join(f"('{u}')" for u in _url_corpus())}) t(url)
+            FROM (VALUES {", ".join(f"('{_sql_quote(u)}')" for u in _url_corpus())}) t(url)
         """,
     }

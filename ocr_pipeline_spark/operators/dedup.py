@@ -480,6 +480,13 @@ def simhash_candidate_pairs(
         return key
 
     combos = simhash_table_combos(blocks, max_hamming)
+    # NULL signatures (null text) are dropped HERE, explicitly: the
+    # self-join key is derived from the nullable simhash column, and
+    # Catalyst's inferred isnotnull(table_key) would otherwise push the
+    # shift/or tree into Filters on both sides (CLAUDE.md derived-join-
+    # key rule; cheap here, but the filter also keeps null rows from
+    # ever reaching the explode)
+    sigs = sigs.filter(F.col("simhash").isNotNull())
     table_rows = sigs.select(
         "doc_id",
         "simhash",

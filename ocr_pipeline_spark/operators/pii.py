@@ -43,9 +43,20 @@ _PII_STEPS: list[tuple[str, str, str]] = [
         r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
         "<IP>",
     ),
+    # Three phone shapes, each with an unambiguous anchor so ordinary
+    # numeric text (ISO dates, year/page ranges, spaced decimals) is
+    # never swallowed — a redaction false positive silently corrupts
+    # training text, so this rule trades recall for precision:
+    #   1. international: leading '+' (the anchor), then grouped digits;
+    #   2. parenthesized area code: (NNN) NNN?-NNNN;
+    #   3. separator-delimited triple: 2-4 digits [-.] 3-4 [-.] 3-4 —
+    #      dashes/dots only (no spaces), which excludes dates
+    #      (4-2-2 / 2-2-4 group shapes don't fit 3-4 middle/tail runs).
     (
         "phone",
-        r"\+?[0-9][0-9()\-. ]{6,14}[0-9]\b",
+        r"\+[0-9]{1,3}[-. ]?\(?[0-9]{1,4}\)?(?:[-. ]?[0-9]{2,4}){1,4}"
+        r"|\([0-9]{3}\)[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+        r"|\b[0-9]{2,4}[-.][0-9]{3,4}[-.][0-9]{3,4}\b",
         "<PHONE>",
     ),
 ]
@@ -57,10 +68,14 @@ _PII_STEPS: list[tuple[str, str, str]] = [
 PII_SAMPLES: list[str] = [
     "contact me at alice.smith+spam@example.co.uk for details",
     "server logs show 192.168.1.254 and 10.0.0.1 connecting",
-    "call +1 (555) 867-5309 or 020 7946 0958 today",
-    "mixed: bob@test.org from 127.0.0.1 dialed 555-123-4567",
+    "call +1 (555) 867-5309 or 555-123-9876 today",
+    "mixed: bob@test.org from 127.0.0.1 dialed (555) 123-4567",
     "no pii here, just plain text about spark partitions",
     "almost an ip 999.999 and almost a mail foo@bar but not quite",
+    # numeric text that must SURVIVE the phone rule (precision cases)
+    "released on 2026-08-17 and revised 17.08.2026 worldwide",
+    "pages 1000-1150 cover it; score was 3.14159 26535 approx",
+    "from 1914. 1918 ended it, and 10.15.7 is a version",
 ]
 
 

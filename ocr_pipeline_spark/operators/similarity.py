@@ -150,14 +150,19 @@ def brute_force_topk_arrow(
                     "neighbor_id": np.tile(
                         pdf[id_col].to_numpy(), len(q_ids)
                     ),
-                    "cos_sim": np.round(S.T.ravel(), 4),
+                    # unrounded: rounding happens JVM-side below, so the
+                    # rule (Spark F.round HALF_UP on the shortest decimal
+                    # repr) is IDENTICAL to the fold variant's and to the
+                    # DuckDB oracle — np.round is half-even on the scaled
+                    # binary value and disagrees on *.xxxx5 doubles
+                    "cos_sim": S.T.ravel(),
                 }
             )
             yield out[out.query_id != out.neighbor_id]
 
     sims = emb.select(id_col, vec_col).mapInPandas(
         fn, schema="query_id long, neighbor_id long, cos_sim double"
-    )
+    ).withColumn("cos_sim", F.round("cos_sim", 4))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

@@ -74,6 +74,17 @@ def test_every_oracle_key_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_synth_pages_prefix_property():
+    # _x_overlay_oracle slices the cached 150-page kernel pass to its
+    # first 30 rows — valid only while synth_pages is sequentially
+    # seeded so pages(30) is an exact prefix of pages(150)
+    from ocr_pipeline_spark.sources.synth_pages import synth_pages
+
+    a, b = synth_pages(150, seed=42), synth_pages(30, seed=42)
+    assert list(b.url) == list(a.url[:30])
+    assert [bytes(x) for x in b.html] == [bytes(x) for x in a.html[:30]]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)

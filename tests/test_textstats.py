@@ -87,6 +87,11 @@ def test_pii_scrub_redacts_and_counts(spark):
     # clean text is untouched
     assert got[4]["scrubbed"] == PII_SAMPLES[4]
     assert got[5]["scrubbed"] == PII_SAMPLES[5]
+    # precision: dates, ranges, spaced decimals, versions SURVIVE the
+    # phone rule (a redaction false positive corrupts training text)
+    for i in (6, 7, 8):
+        assert got[i]["scrubbed"] == PII_SAMPLES[i], i
+        assert got[i]["n_phone"] == 0
     # no raw pii survives anywhere
     for r in got.values():
         assert "@example" not in r["scrubbed"]
