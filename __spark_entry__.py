@@ -89,6 +89,7 @@ from ocr_pipeline_spark.operators.textstats import (
     quality_flags,
     repetition_stats,
     rolling_hash,
+    tfidf_top_terms,
     token_stats,
     winnow_fingerprints,
 )
@@ -172,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style repetition filters (gram text never crosses the
         # shuffle — hashed keys only; see repetition_stats docstring)
         "ts_repetition": lambda s, d: repetition_stats(_t(s, d, "documents")),
+        # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
+        "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
         # PII redaction over documents + the planted PII_SAMPLES corpus
         # (clean synth text alone would make the check near-vacuous)
         "ts_pii_scrub": lambda s, d: with_scrubbed_text(
@@ -1290,6 +1293,22 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
             + "]"
         ),
+        "ts_tfidf_top": f"""
+            WITH terms AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            t AS (SELECT doc_id, term, count(*) AS tf FROM terms
+                  WHERE term <> '' GROUP BY 1, 2),
+            d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (SELECT doc_id, term, tf, df,
+                         round(tf * ln(n_docs / df), 4) AS score
+                  FROM t JOIN d USING (term) CROSS JOIN n)
+            SELECT doc_id, rank, term, tf, df, score FROM (
+              SELECT doc_id, term, tf, df, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rank
+              FROM s) WHERE rank <= 5
+        """,
         "ts_repetition": f"""
             WITH g AS (
               SELECT doc_id,

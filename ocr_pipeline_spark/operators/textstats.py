@@ -15,7 +15,7 @@ identically-ordered double folds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "annotate_quality",
     "fingerprint",
     "repetition_stats",
+    "tfidf_top_terms",
     "rolling_hash",
     "winnow_fingerprints",
 ]
@@ -291,6 +292,49 @@ def repetition_stats(
             F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4
         ).alias("rep_ratio"),
         F.round(F.max("c") / F.sum("c"), 4).alias("top_gram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-doc top-k terms by tf·idf — the cross-doc pooling operator
+    (corpus statistics feeding a per-doc score; keyword metadata for a
+    training corpus). Output: (doc_id, rank, term, tf, df, score).
+
+    Relational shape: explode tokens → tf by (doc_id, term) [shuffle on
+    short token keys, partial agg]; df reuses the tf rows (one extra
+    groupBy(term), no rescan of text); the df side is |vocabulary| rows
+    — broadcastable by AQE at any corpus size; the corpus count joins in
+    as a broadcast scalar (fully lazy, no driver collect). Score =
+    round(tf · ln(N/df), 4) then rank with a term tie-break
+    (round-then-rank). Cross-engine note: ln is the one op here without
+    a bit-exactness recipe — JVM Math.log and libm may differ in the
+    last ulp, so a mismatch needs |a−b| to straddle a 4-decimal rounding
+    boundary (~1e-12 probability per value; same accepted residual class
+    as the cosine fold)."""
+    pre = _staged_tokens(docs, text_col)
+    terms = (
+        pre.select("doc_id", F.explode_outer("_t").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
     )
 
 

@@ -96,3 +96,28 @@ def test_pii_scrub_redacts_and_counts(spark):
     for r in got.values():
         assert "@example" not in r["scrubbed"]
         assert "192.168" not in r["scrubbed"]
+
+
+def test_tfidf_top_terms(spark):
+    from ocr_pipeline_spark.operators.textstats import tfidf_top_terms
+
+    rows = [
+        (0, "apple banana apple apple common common"),
+        (1, "banana cherry cherry common common"),
+        (2, "common words only common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    top = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in out
+    }
+    # 'apple' df=1 tf=3 dominates doc 0; 'common' df=3 → idf 0 never tops
+    assert top[(0, 1)] == ("apple", 3, 1)
+    assert top[(1, 1)] == ("cherry", 2, 1)
+    assert all(t != "common" for (t, _, _) in
+               [top[(d, 1)] for d in (0, 1)])
+    # score for a df==N term is exactly 0
+    zero = [r for r in tfidf_top_terms(df, k=10).collect()
+            if r["term"] == "common"]
+    assert zero and all(r["score"] == 0.0 for r in zero)
