@@ -80,13 +80,14 @@ from ocr_pipeline_spark.operators.temporal import (
     interval_join_count,
     sessionize,
 )
-from ocr_pipeline_spark.plans.curate_job import curate
+from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
 from ocr_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
     STOPWORDS_EN,
     lang_id,
     lang_id_multi,
     quality_flags,
+    fingerprint,
     repetition_stats,
     rolling_hash,
     tfidf_top_terms,
@@ -280,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_rep_ratio=0.08,
             scrub=True,
         ).select("doc_id", "text"),
+        # append-mode curation: odd doc_ids are the "daily increment",
+        # even doc_ids the already-kept corpus (known fingerprints only)
+        "cur_incremental": _cur_incremental,
         # -- streaming operator in batch mode (identical plan) -------------
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
@@ -595,6 +599,22 @@ def _dd_jaccard_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _cur_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode curation: the even-doc_id half plays the existing
+    kept corpus (its content fingerprints are the ONLY thing carried
+    over), the odd half is the new increment."""
+    docs = _t(spark, sf_dir, "documents")
+    known = curate(
+        docs.filter(F.col("doc_id") % 2 == 0), langs=("en",), dedup="exact"
+    ).select(fingerprint(F.col("text")).alias("fingerprint"))
+    return curate_incremental(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        known,
+        langs=("en",),
+        dedup="exact",
+    ).select("doc_id")
 
 
 def _media_df(spark: SparkSession, n: int = 200) -> DataFrame:
@@ -1441,6 +1461,29 @@ def oracle_sql() -> dict[str, str]:
             canon AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY fp)
             SELECT doc_id, {PII_STEPS_SQL("text")} AS text
             FROM kept1 WHERE doc_id IN (SELECT doc_id FROM canon)
+        """,
+        "cur_incremental": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS stop_hits,
+                     substr(md5({_NORM}), 1, 16) AS fp
+              FROM documents),
+            q AS (
+              SELECT doc_id, fp FROM t
+              WHERE (n_tokens >= 5 AND n_tokens <= 100000)
+                AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens)
+                AND (50 * stop_hits >= n_tokens)
+                AND (20 * stop_hits >= n_tokens)),
+            kept_even AS (
+              SELECT doc_id, fp FROM q WHERE doc_id % 2 = 0
+                AND doc_id IN (SELECT min(doc_id) FROM q
+                               WHERE doc_id % 2 = 0 GROUP BY fp)),
+            kept_odd AS (
+              SELECT doc_id, fp FROM q WHERE doc_id % 2 = 1
+                AND doc_id IN (SELECT min(doc_id) FROM q
+                               WHERE doc_id % 2 = 1 GROUP BY fp))
+            SELECT doc_id FROM kept_odd o
+            WHERE NOT EXISTS (SELECT 1 FROM kept_even e WHERE e.fp = o.fp)
         """,
         "st_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

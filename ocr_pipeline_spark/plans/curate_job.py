@@ -37,9 +37,14 @@ from ..operators.dedup import (
     minhash_signatures,
 )
 from ..operators.pii import scrub_pii
-from ..operators.textstats import annotate_quality, repetition_stats
+from ..operators.textstats import annotate_quality, fingerprint, repetition_stats
 
-__all__ = ["extracted_as_documents", "curate", "run_curation"]
+__all__ = [
+    "extracted_as_documents",
+    "curate",
+    "curate_incremental",
+    "run_curation",
+]
 
 
 def extracted_as_documents(extracted: DataFrame) -> DataFrame:
@@ -118,6 +123,38 @@ def curate(
     if scrub:
         kept = kept.withColumn("text", scrub_pii(F.col("text")))
     return kept
+
+
+def curate_incremental(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    text_col: str = "text",
+    **curate_kwargs,
+) -> DataFrame:
+    """Append-mode curation — the daily-crawl-increment shape: curate
+    the new batch (within-increment gates + dedup via ``curate``), then
+    drop any doc whose content fingerprint already exists in the kept
+    corpus.
+
+    ``known_fingerprints``: one column ``fingerprint`` (read back from
+    the kept corpus or its manifest — never the old corpus text).
+    Shuffle accounting: the cross-increment check runs on a
+    (fingerprint, doc_id) projection of the increment — a left_semi
+    equi-join against the known set (short uniform keys on both sides;
+    sort-merge at corpus scale) yields the already-known doc_ids, and
+    only THAT drop list joins back to the kept rows (left_anti by
+    doc_id, AQE-broadcastable at real dup rates). The increment's text
+    never enters the fingerprint shuffle. Rerun-stable: a re-ingested
+    page with identical content always maps to the same fingerprint."""
+    kept = curate(new_docs, **curate_kwargs)
+    already_known = (
+        kept.select(
+            fingerprint(F.col(text_col)).alias("fingerprint"), "doc_id"
+        )
+        .join(known_fingerprints, "fingerprint", "left_semi")
+        .select("doc_id")
+    )
+    return kept.join(already_known, "doc_id", "left_anti")
 
 
 def run_curation(

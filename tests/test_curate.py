@@ -122,3 +122,34 @@ def test_repetition_gate_and_scrub(spark):
     # without the gate the loopy doc survives (it passes quality)
     kept_nogate = {r["doc_id"] for r in curate(corpus, dedup="exact").collect()}
     assert 1 in kept_nogate
+
+
+def test_incremental_drops_already_known_content(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.textstats import fingerprint
+    from ocr_pipeline_spark.plans.curate_job import curate_incremental
+
+    rows = [
+        (0, GOOD, "en", "web", len(GOOD)),
+        (1, GOOD.replace("fox", "wolf"), "en", "web", len(GOOD)),
+    ]
+    increment = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # doc 0's content already exists in the kept corpus
+    known = spark.createDataFrame([(GOOD,)], "text string").select(
+        fingerprint(F.col("text")).alias("fingerprint")
+    )
+    kept = {
+        r["doc_id"]
+        for r in curate_incremental(increment, known, dedup="exact").collect()
+    }
+    assert kept == {1}
+    # empty known set → increment curated as usual
+    empty = known.filter(F.lit(False))
+    kept2 = {
+        r["doc_id"]
+        for r in curate_incremental(increment, empty, dedup="exact").collect()
+    }
+    assert kept2 == {0, 1}
