@@ -198,6 +198,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_signatures(_t(s, d, "documents"))
         ),
         "dd_lsh_pairs": _dd_lsh_pairs,
+        # connected components over the SimHash pair graph (same
+        # pointer-jumping operator, hamming-regime edges)
+        "dd_simhash_clusters": lambda s, d: dup_clusters(
+            simhash_candidate_pairs(
+                simhash_signatures(_t(s, d, "documents"))
+            ).select("doc_a", "doc_b")
+        ),
         "dd_jaccard_bucket": _dd_jaccard_bucket,
         # -- training-data ops: fingerprinting -----------------------------
         "fp_rolling": lambda s, d: _t(s, d, "documents").select(
@@ -1371,6 +1378,17 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash": simhash_sql,
         "dd_simhash_pairs": simhash_pairs_sql,
         "dd_lsh_pairs": lsh_pairs_sql,
+        "dd_simhash_clusters": f"""
+            WITH RECURSIVE base AS ({{0}}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM base
+              UNION SELECT doc_b, doc_a FROM base),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """.format(simhash_pairs_sql),
         # Spark side: iterative hash-min + pointer jumping; oracle:
         # recursive-CTE reachability — cluster_id = min reachable doc_id
         "dd_dup_clusters": f"""
