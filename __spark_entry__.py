@@ -1379,7 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash_pairs": simhash_pairs_sql,
         "dd_lsh_pairs": lsh_pairs_sql,
         "dd_simhash_clusters": f"""
-            WITH RECURSIVE base AS ({{0}}),
+            WITH RECURSIVE base AS ({simhash_pairs_sql}),
             edges AS (
               SELECT doc_a AS src, doc_b AS dst FROM base
               UNION SELECT doc_b, doc_a FROM base),
@@ -1388,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
-        """.format(simhash_pairs_sql),
+        """,
         # Spark side: iterative hash-min + pointer jumping; oracle:
         # recursive-CTE reachability — cluster_id = min reachable doc_id
         "dd_dup_clusters": f"""

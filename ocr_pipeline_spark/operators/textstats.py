@@ -303,10 +303,16 @@ def tfidf_top_terms(
     training corpus). Output: (doc_id, rank, term, tf, df, score).
 
     Relational shape: explode tokens → tf by (doc_id, term) [shuffle on
-    short token keys, partial agg]; df reuses the tf rows (one extra
-    groupBy(term), no rescan of text); the df side is |vocabulary| rows
-    — broadcastable by AQE at any corpus size; the corpus count joins in
-    as a broadcast scalar (fully lazy, no driver collect). Score =
+    short token keys, partial agg]; tf is lazily localCheckpoint-ed so
+    BOTH consumers (the df rollup and the score join) read the one
+    materialized result — without it, column pruning gives the df
+    branch a keys-only aggregate whose exchange never matches for
+    reuse, and Spark scans + tokenizes + shuffles the corpus twice
+    (verified in the executed plan; the checkpoint trades lineage-based
+    recovery of this one stage for running it once — the dup_clusters
+    precedent). The df side is |vocabulary| rows — broadcastable by AQE
+    at any corpus size; the corpus count joins in as a broadcast scalar
+    (no driver collect). Score =
     round(tf · ln(N/df), 4) then rank with a term tie-break
     (round-then-rank). Cross-engine note: ln is the one op here without
     a bit-exactness recipe — JVM Math.log and libm may differ in the
@@ -319,7 +325,11 @@ def tfidf_top_terms(
         .filter(F.col("term").isNotNull())
         .filter(F.col("term") != "")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

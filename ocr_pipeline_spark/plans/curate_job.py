@@ -128,7 +128,6 @@ def curate(
 def curate_incremental(
     new_docs: DataFrame,
     known_fingerprints: DataFrame,
-    text_col: str = "text",
     **curate_kwargs,
 ) -> DataFrame:
     """Append-mode curation — the daily-crawl-increment shape: curate
@@ -137,7 +136,9 @@ def curate_incremental(
     corpus.
 
     ``known_fingerprints``: one column ``fingerprint`` (read back from
-    the kept corpus or its manifest — never the old corpus text).
+    the kept corpus or its manifest — never the old corpus text);
+    fingerprints are always over the documents-shape ``text`` column,
+    the same key ``curate``'s exact dedup uses.
     Shuffle accounting: the cross-increment check runs on a
     (fingerprint, doc_id) projection of the increment — a left_semi
     equi-join against the known set (short uniform keys on both sides;
@@ -147,9 +148,16 @@ def curate_incremental(
     never enters the fingerprint shuffle. Rerun-stable: a re-ingested
     page with identical content always maps to the same fingerprint."""
     kept = curate(new_docs, **curate_kwargs)
+    # coalesce → non-nullable join key: without it, the semi-join's
+    # inferred isnotnull(fingerprint) pushes the whole normalize+md5
+    # tree into a Filter and evaluates it twice per row (CLAUDE.md
+    # derived-join-key rule; pinned by tests/test_plans.py)
     already_known = (
         kept.select(
-            fingerprint(F.col(text_col)).alias("fingerprint"), "doc_id"
+            F.coalesce(fingerprint(F.col("text")), F.lit("")).alias(
+                "fingerprint"
+            ),
+            "doc_id",
         )
         .join(known_fingerprints, "fingerprint", "left_semi")
         .select("doc_id")

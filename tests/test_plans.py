@@ -99,6 +99,38 @@ def test_repetition_gram_text_never_shuffles(spark):
         assert " g#" not in ln and "(g#" not in ln
 
 
+def test_tfidf_computes_token_explode_once(spark):
+    """tf is lazily checkpointed so the df rollup and the score join
+    share ONE tokenize+explode+shuffle — without it, column pruning
+    gives the df branch a keys-only aggregate whose exchange never
+    matches for reuse and the corpus is scanned twice."""
+    from ocr_pipeline_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs))
+    assert plan.count("Generate") == 0      # explode lives in the
+    assert plan.count("FileScan") <= 1      # checkpointed subtree
+
+
+def test_incremental_fingerprint_not_pushed_into_filter(spark):
+    """The coalesce-wrapped fingerprint join key: no inferred isnotnull
+    may re-inline the normalize+md5-over-text tree into a Filter."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.textstats import fingerprint
+    from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    known = curate(docs.filter(F.col("doc_id") % 2 == 0)).select(
+        F.coalesce(fingerprint(F.col("text")), F.lit("")).alias("fingerprint")
+    )
+    inc = curate_incremental(docs.filter(F.col("doc_id") % 2 == 1), known)
+    opt = inc._jdf.queryExecution().optimizedPlan().toString()
+    assert not [
+        ln for ln in opt.splitlines() if "Filter" in ln and "md5" in ln
+    ]
+
+
 def test_simhash_pairs_is_equi_join(spark):
     from ocr_pipeline_spark.operators.dedup import (
         simhash_candidate_pairs,
