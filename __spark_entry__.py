@@ -69,6 +69,7 @@ from ocr_pipeline_spark.operators.pii import (
     PII_STEPS_SQL,
     with_scrubbed_text,
 )
+from ocr_pipeline_spark.operators.sketch import kmv_distinct
 from ocr_pipeline_spark.operators.splits import hash_split, stratified_sample
 from ocr_pipeline_spark.operators.urlkit import (
     CANON_STEPS_SQL,
@@ -89,6 +90,7 @@ from ocr_pipeline_spark.operators.textstats import (
     quality_flags,
     fingerprint,
     repetition_stats,
+    tokens,
     rolling_hash,
     tfidf_top_terms,
     token_stats,
@@ -174,6 +176,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style repetition filters (gram text never crosses the
         # shuffle — hashed keys only; see repetition_stats docstring)
         "ts_repetition": lambda s, d: repetition_stats(_t(s, d, "documents")),
+        # deterministic KMV distinct-count sketch (engine-portable
+        # alternative to HLL++ — see operators/sketch.py); k=16 so the
+        # estimation path fires on this corpus (vocab > k per lang)
+        "sk_distinct_tokens": lambda s, d: kmv_distinct(
+            _t(s, d, "documents")
+            .select(
+                "lang",
+                F.explode_outer(tokens(F.col("text"))).alias("tok"),
+            )
+            .filter(F.col("tok").isNotNull()),
+            "lang",
+            "tok",
+            k=16,
+        ),
         # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
         "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
         # PII redaction over documents + the planted PII_SAMPLES corpus
@@ -1320,6 +1336,22 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
             + "]"
         ),
+        "sk_distinct_tokens": f"""
+            WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT DISTINCT lang AS grp,
+                         ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+                  FROM toks),
+            rk AS (SELECT grp, h,
+                          row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                   FROM h),
+            g AS (SELECT grp, count(*) AS n_hashes, max(h) AS kth_hash
+                  FROM rk WHERE rn <= 16 GROUP BY grp)
+            SELECT grp AS lang, n_hashes, kth_hash,
+                   CASE WHEN n_hashes < 16 THEN cast(n_hashes as double)
+                        ELSE round(cast(15 as double) * 281474976710656
+                                   / greatest(kth_hash, 1), 2) END AS est_distinct
+            FROM g
+        """,
         "ts_tfidf_top": f"""
             WITH terms AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
