@@ -51,6 +51,7 @@ from ocr_pipeline_spark.operators.multimodal import (
     _parse as _media_parse,
     decode_media_meta,
     feature_of,
+    frame_sample,
     format_feature,
     media_features_packed,
     synth_media,
@@ -284,6 +285,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("error", F.lit("")).alias("error"),
         )
         .orderBy("media_id"),
+        # video frame fan-out (A1 for binary payloads): frame bytes are
+        # sliced views sized by the header; serialized as sha256 + dims
+        # for the value check (binary columns don't canonicalize)
+        "mm_frames": lambda s, d: frame_sample(_media_df(s), every_k=2)
+        .select(
+            "media_id",
+            "frame_idx",
+            "width",
+            "height",
+            F.sha2("frame", 256).alias("frame_sha256"),
+        )
+        .orderBy("media_id", "frame_idx"),
         # array<double> serialized Python-side ('%.6f' join) — the driver
         # canonicalizer can't sort/hash array columns, and JVM/DuckDB
         # double→string formatting disagrees; see format_feature
@@ -1091,6 +1104,31 @@ def _mm_decode_meta_oracle(n: int = 200) -> str:
     """
 
 
+def _mm_frames_oracle(n: int = 200, every_k: int = 2) -> str:
+    """Expected sampled frames, computed by the SAME _parse + slicing
+    rules the frame_sample kernel applies (multimodal.py)."""
+    import hashlib
+
+    pdf = _synth_media_cached(n)
+    rows = []
+    for mid, payload in zip(pdf.media_id, pdf.payload):
+        meta, err = _media_parse(payload)
+        if err or meta["kind"] != "video":
+            continue
+        w, h, f = meta["width"], meta["height"], meta["n_frames"]
+        body = bytes(payload)[19:]
+        for idx in range(0, f, every_k):
+            frame = body[idx * w * h : (idx + 1) * w * h]
+            sha = hashlib.sha256(frame).hexdigest()
+            rows.append(f"({int(mid)}, {idx}, {w}, {h}, '{sha}')")
+    return f"""
+        SELECT media_id::BIGINT AS media_id, frame_idx::INTEGER AS frame_idx,
+               width::INTEGER AS width, height::INTEGER AS height, frame_sha256
+        FROM (VALUES {", ".join(rows)})
+             t(media_id, frame_idx, width, height, frame_sha256)
+    """
+
+
 def _mm_features_oracle(n: int = 200) -> str:
     """Expected feature strings, computed by the SAME feature_of /
     format_feature kernels the Spark UDF calls (multimodal.py) — byte
@@ -1661,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         # expressible over the pre-registered views)
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),
+        "mm_frames": _mm_frames_oracle(),
         # extraction flagship: expectations from the Spark-free kernel
         # pass over the same deterministic corpus (kernel-is-spec)
         "x_extract_fused": _x_fused_oracle(),
