@@ -71,7 +71,11 @@ from ocr_pipeline_spark.operators.pii import (
     with_scrubbed_text,
 )
 from ocr_pipeline_spark.operators.sketch import kmv_distinct
-from ocr_pipeline_spark.operators.splits import hash_split, stratified_sample
+from ocr_pipeline_spark.operators.splits import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from ocr_pipeline_spark.operators.urlkit import (
     CANON_STEPS_SQL,
     EDGE_URLS,
@@ -346,6 +350,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             strata_col="lang",
             rates={"en": 0.5, "de": 1.0, "fr": 0.25},
             default_rate=0.1,
+        ),
+        # sequence packing: (bin_idx, bin_offset) layout of docs into
+        # 512-token training sequences, sharded by lang
+        "sp_pack": lambda s, d: pack_sequences(
+            _t(s, d, "documents").select(
+                "doc_id",
+                "lang",
+                F.size(tokens(F.col("text"))).alias("n_toks"),
+            ),
+            token_col="n_toks",
+            budget=512,
+            shard_col="lang",
         ),
         # -- temporal: as-of join / interval join / session windows --------
         "t_asof_last_click": _t_asof_last_click,
@@ -1586,6 +1602,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
                                 WHEN 'fr' THEN 2500 ELSE 1000 END
+        """,
+        "sp_pack": f"""
+            WITH t AS (SELECT doc_id, lang AS shard,
+                              len({_TOKS})::BIGINT AS n_tokens
+                       FROM documents),
+            o AS (SELECT shard, doc_id, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                           - n_tokens AS so
+                  FROM t)
+            SELECT shard, doc_id, n_tokens,
+                   (so // 512)::BIGINT AS bin_idx,
+                   (so % 512)::BIGINT AS bin_offset
+            FROM o
         """,
         "sp_hash_split": """
             SELECT doc_id,

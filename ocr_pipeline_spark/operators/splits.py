@@ -14,12 +14,18 @@ cumulative per-mille-of-ten thresholds. Pure Column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import _token_hash
 
-__all__ = ["split_label", "hash_split", "domain_split", "stratified_sample"]
+__all__ = [
+    "split_label",
+    "hash_split",
+    "domain_split",
+    "stratified_sample",
+    "pack_sequences",
+]
 
 _MOD = 10_000
 
@@ -91,6 +97,50 @@ def stratified_sample(
         else F.lit(int(round(default_rate * _MOD)))
     )
     return df.filter(bucket < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: assign each doc a (bin_idx, bin_offset) in a
+    deterministic stream of ``budget``-token training sequences — the
+    last batch-prep step of an LLM data pipeline (docs concatenated into
+    fixed-length contexts).
+
+    Streaming-pack semantics (the relationally-expressible variant): docs
+    are laid out in ``order_col`` order within a shard and a doc belongs
+    to the bin where it STARTS (bin = floor(start_offset / budget)), so
+    bins hold ~budget tokens with doc boundaries preserved; a doc longer
+    than the budget spans bins from its start (the consumer truncates or
+    splits — same contract as offset-based packed-dataset formats).
+    Exact no-straddle first-fit needs a sequential scan with reset,
+    which is not a window function — this cumulative-offset layout is
+    the standard distributed compromise and is fully order-deterministic
+    and rerun-stable.
+
+    Scale shape: one window cumsum per shard — shard granularity (e.g.
+    the hash_split label, or a date) bounds the window partition so no
+    single global ordering is materialized."""
+    shard = (
+        F.col(shard_col) if shard_col is not None else F.lit("all")
+    ).alias("shard")
+    base = df.select(
+        shard, F.col(order_col), F.col(token_col).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy(order_col)
+    t = F.col("n_tokens")
+    start = F.sum(t).over(w) - t
+    return base.select(
+        "shard",
+        order_col,
+        "n_tokens",
+        F.floor(start / budget).alias("bin_idx"),
+        (start % budget).alias("bin_offset"),
+    )
 
 
 def domain_split(

@@ -79,3 +79,32 @@ def test_domain_split_no_leakage(spark, pages_df):
         .agg(F.countDistinct("split").alias("n"))
     )
     assert per_domain.filter(F.col("n") > 1).count() == 0
+
+
+def test_pack_sequences_layout(spark):
+    from ocr_pipeline_spark.operators.splits import pack_sequences
+
+    rows = [(i, 300) for i in range(6)]          # 300-token docs, budget 512
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {
+        r["doc_id"]: (r["bin_idx"], r["bin_offset"])
+        for r in pack_sequences(df, "n", budget=512).collect()
+    }
+    # starts at 0,300,600,900,1200,1500 → bins 0,0,1,1,2,2
+    assert out == {
+        0: (0, 0), 1: (0, 300), 2: (1, 88), 3: (1, 388), 4: (2, 176),
+        5: (2, 476),
+    }
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: (r["bin_idx"], r["bin_offset"])
+        for r in pack_sequences(df.repartition(5), "n", budget=512).collect()
+    }
+    assert again == out
+    # sharding restarts offsets per shard
+    sharded = df.withColumn("sh", (F.col("doc_id") % 2).cast("string"))
+    per = pack_sequences(sharded, "n", budget=512, shard_col="sh").collect()
+    assert all(r["bin_idx"] == 0 for r in per if r["bin_offset"] < 512
+               and r["doc_id"] in (0, 1))
+    starts = {(r["shard"], r["doc_id"]): r["bin_offset"] for r in per}
+    assert starts[("0", 0)] == 0 and starts[("1", 1)] == 0
