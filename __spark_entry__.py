@@ -1401,9 +1401,10 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT grp, count(*) AS n_hashes, max(h) AS kth_hash
                   FROM rk WHERE rn <= 16 GROUP BY grp)
             SELECT grp AS lang, n_hashes, kth_hash,
-                   CASE WHEN n_hashes < 16 THEN cast(n_hashes as double)
-                        ELSE round(cast(15 as double) * 281474976710656
-                                   / greatest(kth_hash, 1), 2) END AS est_distinct
+                   (CASE WHEN n_hashes < 16 THEN n_hashes
+                         ELSE (15::BIGINT * 281474976710656)
+                              // greatest(kth_hash, 1::BIGINT)
+                    END)::BIGINT AS est_distinct
             FROM g
         """,
         "ts_tfidf_top": f"""

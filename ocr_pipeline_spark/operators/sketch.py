@@ -8,13 +8,13 @@ estimates, no cross-engine value check. This sketch is the
 engine-portable alternative: hash every distinct value with the md5
 recipe shared by the whole engine, keep the k smallest hashes, estimate
 
-    N̂ = (k - 1) · P / h_(k)
+    N̂ = (k - 1) · P div h_(k)
 
-where h_(k) is the k-th smallest hash and P = 2^48 the hash range (Beyer et
-al., "On synopses for distinct-value estimation under multiset
-operations", SIGMOD'07). Everything is integer/bigint until one final
-division of identical operands — bit-identical across engines, so the
-DuckDB oracle checks VALUES, not just shape.
+where h_(k) is the k-th smallest hash and P = 2^48 the hash range (Beyer
+et al., "On synopses for distinct-value estimation under multiset
+operations", SIGMOD'07). Integer/bigint arithmetic end to end, including
+the final floor quotient — bit-identical across engines, so the DuckDB
+oracle checks VALUES, not just shape.
 
 Scale + mergeability: the per-group state is k bigints, built by
 map-side partial aggregation on (group, hash) then a k-smallest
@@ -38,7 +38,84 @@ from .textstats import _token_hash
 # Hash range of _token_hash (first 12 md5 hex chars → [0, 2^48)).
 HASH_RANGE = 1 << 48
 
-__all__ = ["kmv_distinct", "HASH_RANGE"]
+__all__ = ["kmv_distinct", "kmv_state", "kmv_from_state", "HASH_RANGE"]
+
+
+def kmv_state(df: DataFrame, group_col: str, value_col: str, k: int = 128) -> DataFrame:
+    """The sketch STATE: per group, the k smallest distinct value hashes
+    as rows (grp, h). This is what you persist for incremental
+    maintenance — states merge as ``kmv_from_state(a.union(b), k)``.
+
+    NULL values are excluded (a NULL is not a value; and NULL ordering
+    differs across engines, so letting it into the top-k would both bias
+    the estimate and break oracle parity).
+
+    Scale shape: the value hashes scan-local and only (grp, 48-bit hash)
+    rows move; dedup is a skew-free groupBy on (grp, h); the k-smallest
+    selection runs FIRST per (grp, input-partition) — bounded partitions,
+    no single-task hotspot — and the global per-group selection then
+    sorts at most k·num_partitions rows per group."""
+    hashes = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            _token_hash(F.col(value_col).cast("string")).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .groupBy("grp", "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    local_w = Window.partitionBy("grp", F.spark_partition_id()).orderBy("h")
+    pruned = (
+        hashes.withColumn("rn", F.row_number().over(local_w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    global_w = Window.partitionBy("grp").orderBy("h")
+    return (
+        pruned.withColumn("rn", F.row_number().over(global_w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_from_state(state: DataFrame, k: int = 128) -> DataFrame:
+    """State rows → (grp, n_hashes, kth_hash, est_distinct). Accepts a
+    union of states (re-selects the k smallest first — the sketch merge).
+
+    The estimate is an INTEGER floor quotient, (k−1)·2^48 div h_(k) —
+    bigint arithmetic end to end, genuinely bit-identical across engines
+    (a rounded double here would hang parity on two engines' double→
+    decimal rounding rules)."""
+    # overlapping increments contribute the SAME hash from both states —
+    # KMV merges on distinct hashes, or the k-th rank is reached early
+    # and the estimate inflates
+    state = state.dropDuplicates(["grp", "h"])
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = (
+        state.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    per_grp = topk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k,
+        F.col("n_hashes"),  # exact: the sketch saw every distinct value
+    ).otherwise(
+        F.expr(
+            f"CAST({k - 1} AS BIGINT) * CAST({HASH_RANGE} AS BIGINT)"
+            " div greatest(kth_hash, CAST(1 AS BIGINT))"
+        )
+    )
+    return per_grp.select(
+        "grp",
+        "n_hashes",
+        "kth_hash",
+        est.cast("long").alias("est_distinct"),
+    )
 
 
 def kmv_distinct(
@@ -48,41 +125,8 @@ def kmv_distinct(
     k: int = 128,
 ) -> DataFrame:
     """Per-group distinct-count estimate:
-    (group, n_hashes, kth_hash, est_distinct).
-
-    Shuffle accounting: values hash scan-local; the (group, hash)
-    dedup + k-smallest selection shuffle short keys only (the value
-    itself never moves past the first projection)."""
-    hashes = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            _token_hash(F.col(value_col).cast("string")).alias("h"),
-        )
-        .groupBy("grp", "h")
-        .agg(F.lit(1).alias("_one"))
-    )
-    w = Window.partitionBy("grp").orderBy("h")
-    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
-    )
-    per_grp = topk.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_hashes"),
-        F.max("h").alias("kth_hash"),
-    )
-    est = F.when(
-        F.col("n_hashes") < k,
-        F.col("n_hashes").cast("double"),  # exact: sketch saw everything
-    ).otherwise(
-        F.round(
-            F.lit(float(k - 1))
-            * F.lit(HASH_RANGE)
-            / F.greatest(F.col("kth_hash"), F.lit(1)),
-            2,
-        )
-    )
-    return per_grp.select(
-        F.col("grp").alias(group_col),
-        "n_hashes",
-        "kth_hash",
-        est.alias("est_distinct"),
-    )
+    (group, n_hashes, kth_hash, est_distinct). One-shot composition of
+    ``kmv_state`` + ``kmv_from_state`` (see both for the scale and
+    parity contracts)."""
+    out = kmv_from_state(kmv_state(df, group_col, value_col, k), k)
+    return out.withColumnRenamed("grp", group_col)

@@ -120,7 +120,9 @@ def pack_sequences(
     Exact no-straddle first-fit needs a sequential scan with reset,
     which is not a window function — this cumulative-offset layout is
     the standard distributed compromise and is fully order-deterministic
-    and rerun-stable.
+    and rerun-stable PROVIDED ``order_col`` is unique within each shard
+    (doc ids are): with ties, no window frame yields a well-defined
+    stream position — peers would share or overlap offsets.
 
     Scale shape: one window cumsum per shard — shard granularity (e.g.
     the hash_split label, or a date) bounds the window partition so no
@@ -131,7 +133,13 @@ def pack_sequences(
     base = df.select(
         shard, F.col(order_col), F.col(token_col).cast("long").alias("n_tokens")
     )
-    w = Window.partitionBy("shard").orderBy(order_col)
+    # ROWS frame, not the default RANGE: RANGE gives peer rows (tied
+    # order keys) one shared cumulative sum — overlapping offsets
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     t = F.col("n_tokens")
     start = F.sum(t).over(w) - t
     return base.select(

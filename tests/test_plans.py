@@ -199,3 +199,24 @@ def test_aggregations_have_partial_agg_single_shuffle(spark, name):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_" in plan  # partial aggregate before the shuffle
+
+
+def test_kmv_raw_values_never_shuffle(spark):
+    """kmv_distinct's scale contract: exchanges carry only grp + 48-bit
+    hash, never the raw value column."""
+    from ocr_pipeline_spark.operators.sketch import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(kmv_distinct(docs, "lang", "text", k=16))
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert " text#" not in ln and "(text#" not in ln
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    from ocr_pipeline_spark.operators.splits import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(pack_sequences(docs, "n_chars", budget=4096, shard_col="lang"))
+    assert plan.count("Exchange") == 1       # one shuffle: the shard window
+    assert " text#" not in plan              # text pruned at the scan

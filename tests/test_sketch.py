@@ -1,10 +1,15 @@
-"""KMV distinct-count sketch: accuracy, exact fallback, merge property."""
+"""KMV distinct-count sketch: accuracy, exact fallback, NULL exclusion,
+true state-merge property."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ocr_pipeline_spark.operators.sketch import kmv_distinct
+from ocr_pipeline_spark.operators.sketch import (
+    kmv_distinct,
+    kmv_from_state,
+    kmv_state,
+)
 
 
 def test_estimate_within_sketch_error(spark):
@@ -15,6 +20,7 @@ def test_estimate_within_sketch_error(spark):
     row = kmv_distinct(df, "grp", "v", k=128).first()
     assert row["n_hashes"] == 128
     assert abs(row["est_distinct"] - 20_000) / 20_000 < 0.3
+    assert isinstance(row["est_distinct"], int)  # bigint, not a double
     # duplicates must not change a distinct-count sketch
     dup = df.union(df)
     row2 = kmv_distinct(dup, "grp", "v", k=128).first()
@@ -26,19 +32,44 @@ def test_exact_fallback_below_k(spark):
         (F.col("id") % 2).alias("grp"), F.col("id").alias("v")
     )
     rows = {r["grp"]: r for r in kmv_distinct(df, "grp", "v", k=128).collect()}
-    assert rows[0]["est_distinct"] == 19.0   # exact counts, not estimates
-    assert rows[1]["est_distinct"] == 18.0
+    assert rows[0]["est_distinct"] == 19   # exact counts, not estimates
+    assert rows[1]["est_distinct"] == 18
 
 
-def test_merge_property(spark):
-    """Union-then-sketch equals sketch of the union — partitioning the
-    input cannot change the k smallest hashes (the distributivity that
-    lets partitions/increments merge without rescans)."""
-    a = spark.range(0, 5_000)
-    b = spark.range(3_000, 9_000)   # overlapping halves
-    whole = (
-        a.union(b)
-        .select(F.lit("g").alias("grp"), F.col("id").alias("v"))
+def test_null_values_are_not_counted(spark):
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None), ("g", "c")],
+        "grp string, v string",
+    )
+    row = kmv_distinct(df, "grp", "v", k=4).first()
+    # NULL is not a value: 3 distinct, and the NULL hash must not evict
+    # a real hash from the top-k
+    assert row["n_hashes"] == 3 and row["est_distinct"] == 3
+
+
+def test_state_merge_equals_sketch_of_union(spark):
+    """TRUE mergeability: sketch each increment separately, union the
+    states, re-select k — must equal sketching the union directly."""
+    a = spark.range(0, 5_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    b = spark.range(3_000, 9_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
+    )
+    merged = kmv_from_state(
+        kmv_state(a, "grp", "v", k=64).union(kmv_state(b, "grp", "v", k=64)),
+        k=64,
+    ).first()
+    direct = kmv_distinct(a.union(b), "grp", "v", k=64).first()
+    assert (merged["kth_hash"], merged["est_distinct"]) == (
+        direct["kth_hash"],
+        direct["est_distinct"],
+    )
+
+
+def test_partition_invariance(spark):
+    whole = spark.range(9_000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v")
     )
     one = kmv_distinct(whole, "grp", "v", k=64).first()
     two = kmv_distinct(whole.repartition(17), "grp", "v", k=64).first()

@@ -101,10 +101,16 @@ def test_pack_sequences_layout(spark):
         for r in pack_sequences(df.repartition(5), "n", budget=512).collect()
     }
     assert again == out
-    # sharding restarts offsets per shard
+    # sharding restarts offsets per shard: 3 docs of 300 tokens each →
+    # per-shard starts 0, 300, 600 → bins 0, 0, 1
     sharded = df.withColumn("sh", (F.col("doc_id") % 2).cast("string"))
-    per = pack_sequences(sharded, "n", budget=512, shard_col="sh").collect()
-    assert all(r["bin_idx"] == 0 for r in per if r["bin_offset"] < 512
-               and r["doc_id"] in (0, 1))
-    starts = {(r["shard"], r["doc_id"]): r["bin_offset"] for r in per}
-    assert starts[("0", 0)] == 0 and starts[("1", 1)] == 0
+    per = {
+        (r["shard"], r["doc_id"]): (r["bin_idx"], r["bin_offset"])
+        for r in pack_sequences(
+            sharded, "n", budget=512, shard_col="sh"
+        ).collect()
+    }
+    assert per == {
+        ("0", 0): (0, 0), ("0", 2): (0, 300), ("0", 4): (1, 88),
+        ("1", 1): (0, 0), ("1", 3): (0, 300), ("1", 5): (1, 88),
+    }
