@@ -142,12 +142,17 @@ def pack_sequences(
     )
     t = F.col("n_tokens")
     start = F.sum(t).over(w) - t
+    # integral `div`, not floor(double /): a 53-bit mantissa can flip a
+    # doc just below a bin boundary once cumulative offsets grow large —
+    # bigint end to end, like every other cross-engine recipe here
     return base.select(
+        "shard", order_col, "n_tokens", start.alias("_so")
+    ).select(
         "shard",
         order_col,
         "n_tokens",
-        F.floor(start / budget).alias("bin_idx"),
-        (start % budget).alias("bin_offset"),
+        F.expr(f"_so div {int(budget)}").alias("bin_idx"),
+        (F.col("_so") % budget).alias("bin_offset"),
     )
 
 

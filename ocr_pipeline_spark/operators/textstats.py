@@ -310,7 +310,9 @@ def tfidf_top_terms(
     reuse, and Spark scans + tokenizes + shuffles the corpus twice
     (verified in the executed plan; the checkpoint trades lineage-based
     recovery of this one stage for running it once — the dup_clusters
-    precedent). The df side is |vocabulary| rows — broadcastable by AQE
+    precedent). The checkpointed blocks are released by Spark's
+    ContextCleaner when the DataFrame is garbage-collected, so repeated
+    invocations in a long-lived session do not accumulate storage. The df side is |vocabulary| rows — broadcastable by AQE
     at any corpus size; the corpus count joins in as a broadcast scalar
     (no driver collect). Score =
     round(tf · ln(N/df), 4) then rank with a term tie-break

@@ -148,10 +148,15 @@ def curate_incremental(
     never enters the fingerprint shuffle. Rerun-stable: a re-ingested
     page with identical content always maps to the same fingerprint."""
     kept = curate(new_docs, **curate_kwargs)
-    # coalesce → non-nullable join key: without it, the semi-join's
-    # inferred isnotnull(fingerprint) pushes the whole normalize+md5
-    # tree into a Filter and evaluates it twice per row (CLAUDE.md
-    # derived-join-key rule; pinned by tests/test_plans.py)
+    # coalesce → non-nullable join keys on BOTH sides: without it, the
+    # semi-join's inferred isnotnull(fingerprint) pushes the whole
+    # normalize+md5 tree into a Filter and evaluates it twice per row
+    # (CLAUDE.md derived-join-key rule; pinned by tests/test_plans.py).
+    # The known side is wrapped HERE so callers that pass a lazily
+    # derived fingerprint expression are protected too.
+    known = known_fingerprints.select(
+        F.coalesce(F.col("fingerprint"), F.lit("")).alias("fingerprint")
+    )
     already_known = (
         kept.select(
             F.coalesce(fingerprint(F.col("text")), F.lit("")).alias(
@@ -159,7 +164,7 @@ def curate_incremental(
             ),
             "doc_id",
         )
-        .join(known_fingerprints, "fingerprint", "left_semi")
+        .join(known, "fingerprint", "left_semi")
         .select("doc_id")
     )
     return kept.join(already_known, "doc_id", "left_anti")

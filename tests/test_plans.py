@@ -115,16 +115,9 @@ def test_tfidf_computes_token_explode_once(spark):
 def test_incremental_fingerprint_not_pushed_into_filter(spark):
     """The coalesce-wrapped fingerprint join key: no inferred isnotnull
     may re-inline the normalize+md5-over-text tree into a Filter."""
-    from pyspark.sql import functions as F
-
-    from ocr_pipeline_spark.operators.textstats import fingerprint
-    from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    known = curate(docs.filter(F.col("doc_id") % 2 == 0)).select(
-        F.coalesce(fingerprint(F.col("text")), F.lit("")).alias("fingerprint")
-    )
-    inc = curate_incremental(docs.filter(F.col("doc_id") % 2 == 1), known)
+    # the REGISTERED query, exactly as the driver runs it — a manually
+    # coalesced `known` here once masked an unwrapped entry helper
+    inc = entrymod.queries()["cur_incremental"](spark, SF_DIR)
     opt = inc._jdf.queryExecution().optimizedPlan().toString()
     assert not [
         ln for ln in opt.splitlines() if "Filter" in ln and "md5" in ln
