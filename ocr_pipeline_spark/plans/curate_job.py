@@ -88,6 +88,13 @@ def curate(
     AQE broadcasts the drop list — at web dup rates the list is the far
     smaller side. Text therefore crosses at most one exchange.
 
+    ``kept`` is deliberately NOT cached/checkpointed although the dedup
+    branch references it 2-3×: the re-evaluations are scans + cheap
+    narrow gates, while materializing the kept corpus (text included)
+    would write the whole dataset once more — at 100 TB the rescan is
+    the cheaper side. Pipelines that want a durable intermediate write
+    the gated corpus as a table and dedup against that.
+
     Minhash mode verifies every LSH candidate pair with exact shingle
     Jaccard ≥ ``jaccard_threshold`` before clustering — band collisions
     alone fire on moderately-similar docs (a 4×2 banding collides
