@@ -16,9 +16,18 @@ def test_parser_subcommands():
         ["extract", "--input", "a", "--out", "b", "--manifest", "c"],
         ["stream", "--input", "a", "--out", "b", "--checkpoint", "c"],
         ["warc", "--input", "a", "--out", "b"],
+        ["curate", "--input", "a", "--out", "b"],
     ):
         args = ap.parse_args(argv)
         assert callable(args.fn)
+    # curation gate flags parse with the right types/defaults
+    args = ap.parse_args(
+        ["curate", "--input", "a", "--out", "b",
+         "--max-rep-ratio", "0.15", "--scrub"]
+    )
+    assert args.max_rep_ratio == 0.15 and args.scrub is True
+    dflt = ap.parse_args(["curate", "--input", "a", "--out", "b"])
+    assert dflt.max_rep_ratio is None and dflt.scrub is False
     with pytest.raises(SystemExit):
         ap.parse_args(["extract"])  # missing required args
 
