@@ -120,7 +120,7 @@ def _synth_pages_df(spark: SparkSession, n: int = 150, seed: int = 42) -> DataFr
 
 
 # DuckDB fragments mirroring ocr_pipeline_spark.operators.textstats
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NORM = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 _SHINGLES = (
@@ -1370,9 +1370,9 @@ def oracle_sql() -> dict[str, str]:
         "ts_token_stats": f"""
             SELECT doc_id,
                    len({_TOKS}) AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
+                   len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+')) AS words,
                    length({_NORM}) AS norm_chars,
-                   len(regexp_extract_all(text, '[.,;:!?]')) AS punct_chars,
+                   len(regexp_extract_all(coalesce(text, ''), '[.,;:!?]')) AS punct_chars,
                    len(list_distinct({_TOKS})) AS distinct_tokens
             FROM documents
         """,
@@ -1478,10 +1478,10 @@ def oracle_sql() -> dict[str, str]:
                   f"({1_000_000 + i}::BIGINT, '{_sql_quote(t)}')"
                   for i, t in enumerate(PII_SAMPLES)
               )}) t(doc_id, text))
-            SELECT doc_id, {PII_STEPS_SQL("text")} AS scrubbed,
-                   {PII_COUNT_SQL("text", 0)}::INTEGER AS n_email,
-                   {PII_COUNT_SQL("text", 1)}::INTEGER AS n_ip,
-                   {PII_COUNT_SQL("text", 2)}::INTEGER AS n_phone
+            SELECT doc_id, {PII_STEPS_SQL("coalesce(text, '')")} AS scrubbed,
+                   {PII_COUNT_SQL("coalesce(text, '')", 0)}::INTEGER AS n_email,
+                   {PII_COUNT_SQL("coalesce(text, '')", 1)}::INTEGER AS n_ip,
+                   {PII_COUNT_SQL("coalesce(text, '')", 2)}::INTEGER AS n_phone
             FROM src
         """,
         "dd_exact": f"""

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-_NORM_BODY = "trim(regexp_replace(lower({s}), '\\\\s+', ' '))"
+_NORM_BODY = "trim(regexp_replace(lower(coalesce({s}, '')), '\\\\s+', ' '))"
 
 _SQL_FUNCTIONS: dict[str, str] = {
     # normalization / tokenization
@@ -37,7 +37,7 @@ _SQL_FUNCTIONS: dict[str, str] = {
     ),
     "word_count": (
         "(s STRING) RETURNS INT RETURN "
-        "size(regexp_extract_all(s, '[A-Za-z0-9]+', 0))"
+        "size(regexp_extract_all(coalesce(s, ''), '[A-Za-z0-9]+', 0))"
     ),
     # fingerprints (identical to operators.textstats)
     "fingerprint16": (

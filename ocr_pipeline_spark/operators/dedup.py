@@ -23,6 +23,7 @@ reproduce signatures bit-for-bit.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -248,7 +249,14 @@ def jaccard_verify(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+_LOG = logging.getLogger(__name__)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    on_nonconverged: str = "warn",
+) -> DataFrame:
     """Duplicate-cluster assignment: connected components over candidate
     pairs via hash-min label propagation (each doc converges to the
     minimum doc_id of its component — the canonical representative).
@@ -261,7 +269,16 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     label — path compression), so convergence is O(log diameter), not
     O(diameter); ``localCheckpoint`` truncates the plan per round so
     lineage doesn't grow with iterations. The loop exits early on
-    convergence — checked with a limit(1).count(), never a collect."""
+    convergence — checked with a limit(1).count(), never a collect.
+
+    The ``max_iter`` cap is never silent: pointer jumping converges in
+    O(log diameter) rounds (a component would need diameter > 2^20 to
+    exhaust the default), but if the cap IS hit the labels may still
+    split a component, so ``on_nonconverged`` controls the signal —
+    ``"warn"`` logs a warning (default), ``"raise"`` raises
+    ``RuntimeError``."""
+    if on_nonconverged not in ("warn", "raise"):
+        raise ValueError(f"on_nonconverged must be warn|raise, got {on_nonconverged!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -278,6 +295,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -322,7 +340,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds; returned cluster_ids may still "
+            f"split a connected component (raise max_iter)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        _LOG.warning(msg)
     return labels
 
 
@@ -465,6 +493,17 @@ def simhash_candidate_pairs(
     shuffle; candidate volume is O(key collisions), never O(N²).
     Companion of ``lsh_candidate_pairs`` (MinHash/Jaccard regime).
     """
+    if sig_bits % blocks != 0:
+        # integer division would silently ignore the top sig_bits%blocks
+        # bits, voiding the recall-1-at-threshold guarantee
+        raise ValueError(
+            f"sig_bits ({sig_bits}) must be divisible by blocks ({blocks})"
+        )
+    if not 0 < max_hamming < blocks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be in [1, blocks-1] "
+            f"(blocks={blocks})"
+        )
     bits_per = sig_bits // blocks
     mask = (1 << bits_per) - 1
 

@@ -94,8 +94,10 @@ def with_scrubbed_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     replacement order, so precedence is observable (an IP inside an
     email is counted once, as the email)."""
     # staged: each step's input is the previous step's output, so the
-    # chain is evaluated once per row (no multi-reference CSE hazard)
-    out = df.withColumn("_s0", F.col(text_col))
+    # chain is evaluated once per row (no multi-reference CSE hazard).
+    # NULL→'' at the root: Spark's size(regexp_extract_all(NULL)) and
+    # DuckDB's len(...) disagree on NULL, so neither engine ever sees one
+    out = df.withColumn("_s0", F.coalesce(F.col(text_col), F.lit("")))
     counts = []
     for i, (name, pat, rep) in enumerate(_PII_STEPS):
         cur, nxt = f"_s{i}", f"_s{i + 1}"
@@ -109,12 +111,19 @@ def with_scrubbed_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop(*[f"_s{i}" for i in range(len(_PII_STEPS) + 1)])
 
 
+def _lit(s: str) -> str:
+    """Single-quoted DuckDB string literal (quotes doubled — a pattern
+    or replacement containing ``'`` must not silently break the derived
+    oracle SQL)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def PII_STEPS_SQL(c: str) -> str:
     """DuckDB expression for the scrubbed text, derived from the same
     _PII_STEPS list ('g' flag = Spark's replace-all semantics)."""
     expr = c
     for _, pat, rep in _PII_STEPS:
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+        expr = f"regexp_replace({expr}, {_lit(pat)}, {_lit(rep)}, 'g')"
     return expr
 
 
@@ -124,5 +133,5 @@ def PII_COUNT_SQL(c: str, step: int) -> str:
     (mirrors with_scrubbed_text's staging)."""
     expr = c
     for _, pat, rep in _PII_STEPS[:step]:
-        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
-    return f"len(regexp_extract_all({expr}, '{_PII_STEPS[step][1]}'))"
+        expr = f"regexp_replace({expr}, {_lit(pat)}, {_lit(rep)}, 'g')"
+    return f"len(regexp_extract_all({expr}, {_lit(_PII_STEPS[step][1])}))"

@@ -384,13 +384,17 @@ def ann_topk(
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col(id_col) != F.col("query_id")),
         )
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "qvec", vec_col)
-        .dropDuplicates(["query_id", "neighbor_id"])  # candidate in ≥1 table
+        # cosine BEFORE the dedup: the value is identical for every
+        # table collision of a (query, neighbor) pair, so recomputing it
+        # per collision (≤ n_tables×, map-side) is far cheaper than
+        # carrying both embeddings through the dropDuplicates exchange —
+        # only (query_id, neighbor_id, cos_sim) shorts ever shuffle
         .select(
             "query_id",
-            "neighbor_id",
+            F.col(id_col).alias("neighbor_id"),
             _sim4(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])  # candidate in ≥1 table
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -51,9 +51,14 @@ _PUNCT_RE = "[.,;:!?]"
 
 def norm_text(col: Column) -> Column:
     """Deterministic normalization shared by all text operators:
-    lowercase, collapse whitespace runs, trim. Identical semantics in
-    DuckDB: trim(regexp_replace(lower(c), '\\s+', ' ', 'g'))."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    NULL→'' (so downstream size()/length() never mix NULL semantics
+    across engines — Spark's size(NULL) is -1, DuckDB's len(NULL) is
+    NULL), lowercase, collapse whitespace runs, trim. Identical
+    semantics in DuckDB:
+    trim(regexp_replace(lower(coalesce(c, '')), '\\s+', ' ', 'g'))."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    )
 
 
 def tokens(col: Column) -> Column:
@@ -62,8 +67,12 @@ def tokens(col: Column) -> Column:
 
 
 def word_count(col: Column) -> Column:
-    """BPE-ish regex token count: alnum runs (punct splits words)."""
-    return F.size(F.regexp_extract_all(col, F.lit(_WORD_RE), 0))
+    """BPE-ish regex token count: alnum runs (punct splits words).
+    NULL-safe: NULL text counts 0, matching len(regexp_extract_all(
+    coalesce(c, ''), ...)) on the oracle side."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(_WORD_RE), 0)
+    )
 
 
 def _staged_tokens(
@@ -90,9 +99,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(t).alias("ws_tokens"),
         word_count(F.col(text_col)).alias("words"),
         F.length(F.col("_n")).alias("norm_chars"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PUNCT_RE), 0)).alias(
-            "punct_chars"
-        ),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(_PUNCT_RE), 0
+            )
+        ).alias("punct_chars"),
         F.size(F.array_distinct(t)).alias("distinct_tokens"),
     )
 

@@ -160,13 +160,20 @@ def curate_incremental(
     # normalize+md5 tree into a Filter and evaluates it twice per row
     # (CLAUDE.md derived-join-key rule; pinned by tests/test_plans.py).
     # The known side is wrapped HERE so callers that pass a lazily
-    # derived fingerprint expression are protected too.
+    # derived fingerprint expression are protected too. The sentinels
+    # are ASYMMETRIC ('#' is not hex, so neither equals a real
+    # fingerprint or the other side's sentinel): a NULL on either side
+    # can never join-match anything, without an isnotnull filter — an
+    # explicit filter on a derived fingerprint would re-inline the
+    # md5-over-text tree into a Filter (the pushdown disease above).
     known = known_fingerprints.select(
-        F.coalesce(F.col("fingerprint"), F.lit("")).alias("fingerprint")
+        F.coalesce(F.col("fingerprint"), F.lit("#null-known")).alias(
+            "fingerprint"
+        )
     )
     already_known = (
         kept.select(
-            F.coalesce(fingerprint(F.col("text")), F.lit("")).alias(
+            F.coalesce(fingerprint(F.col("text")), F.lit("#null-kept")).alias(
                 "fingerprint"
             ),
             "doc_id",

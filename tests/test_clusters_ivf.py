@@ -37,6 +37,33 @@ def test_dup_clusters_partition_independent(spark):
     assert all(r["cluster_id"] == 1 for r in a)  # one long chain
 
 
+def test_dup_clusters_cap_is_not_silent(spark, caplog):
+    """An adversarial long chain with max_iter too small must SIGNAL —
+    warn by default, raise on request — never return possibly-split
+    labels silently."""
+    import logging
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="ocr_pipeline_spark.operators.dedup"
+    ):
+        dup_clusters(pairs, max_iter=1).collect()
+    assert any("did not converge" in r.message for r in caplog.records)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=1, on_nonconverged="raise")
+
+    # converged runs stay quiet
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING, logger="ocr_pipeline_spark.operators.dedup"
+    ):
+        dup_clusters(pairs).collect()
+    assert not any("did not converge" in r.message for r in caplog.records)
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

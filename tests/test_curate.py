@@ -153,3 +153,13 @@ def test_incremental_drops_already_known_content(spark):
         for r in curate_incremental(increment, empty, dedup="exact").collect()
     }
     assert kept2 == {0, 1}
+    # a NULL in the known set must be ignored, never sentinel-collide
+    # with the kept side's coalesce and drop increment docs
+    with_null = known.unionByName(
+        spark.createDataFrame([(None,)], "fingerprint string")
+    )
+    kept3 = {
+        r["doc_id"]
+        for r in curate_incremental(increment, with_null, dedup="exact").collect()
+    }
+    assert kept3 == {1}

@@ -109,6 +109,16 @@ def test_simhash_pairs_exact_recall_at_threshold(spark):
     assert ham(sigs[4][1], sigs[0][1]) == 4
 
 
+def test_simhash_pairs_rejects_invalid_block_config(spark):
+    """Non-divisible sig_bits/blocks would silently drop the top bits
+    and void the recall guarantee — must raise, not truncate."""
+    sigs = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_candidate_pairs(sigs, blocks=7, sig_bits=60)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_candidate_pairs(sigs, blocks=6, max_hamming=6)
+
+
 def test_simhash_table_combos_cover_threshold():
     # C(6, 3) tables of 3 blocks each — the Manku WWW'07 configuration
     combos = simhash_table_combos(6, 3)

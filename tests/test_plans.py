@@ -32,6 +32,23 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _shuffle_blocks(df) -> list[str]:
+    """Per-node detail blocks of every shuffle Exchange in the formatted
+    explain — unlike toString()'s Exchange lines (keys only), these list
+    the full Input attribute set the exchange carries."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return [
+        b
+        for b in buf.getvalue().split("\n\n")
+        if b.lstrip().startswith("(") and ") Exchange" in b.splitlines()[0]
+    ]
+
+
 def test_fused_extraction_has_no_shuffle(spark, pages_df):
     plan = _plan(extract_pages(pages_df))
     assert "Exchange" not in plan
@@ -124,6 +141,21 @@ def test_incremental_fingerprint_not_pushed_into_filter(spark):
     ]
 
 
+def test_incremental_semi_join_is_equi_and_text_free(spark):
+    """curate_incremental's scale contract: the known-fingerprint check is
+    an equi-(anti/semi-)join on the 16-hex fingerprint, and no exchange
+    in the whole job carries the text payload of the known side — only
+    the increment's own text survives to the output projection."""
+    inc = entrymod.queries()["cur_incremental"](spark, SF_DIR)
+    plan = _plan(inc)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    blocks = _shuffle_blocks(inc)
+    assert blocks  # the dedup-representative aggregates do shuffle
+    for b in blocks:
+        assert "text#" not in b, b
+
+
 def test_simhash_pairs_is_equi_join(spark):
     from ocr_pipeline_spark.operators.dedup import (
         simhash_candidate_pairs,
@@ -141,6 +173,22 @@ def test_topk_broadcasts_queries(spark):
     plan = _plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_topk_no_vectors_cross_shuffles(spark):
+    """ann_topk's scale contract: embeddings feed the map-side cosine and
+    the qvec BroadcastExchange, but no shuffle exchange ever carries a
+    vector column — only (query_id, neighbor_id, cos_sim) shorts. At
+    768-dim real widths a vector-carrying candidate dedup would dominate
+    the job's shuffle volume."""
+    from ocr_pipeline_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = ann_topk(emb, query_ids=[0, 1, 2], k=3)
+    blocks = _shuffle_blocks(df)
+    assert blocks  # the dedup + window shuffles exist
+    for b in blocks:
+        assert "embedding" not in b and "qvec" not in b, b
 
 
 def test_asof_join_is_single_shuffle(spark):

@@ -121,3 +121,52 @@ def test_tfidf_top_terms(spark):
     zero = [r for r in tfidf_top_terms(df, k=10).collect()
             if r["term"] == "common"]
     assert zero and all(r["score"] == 0.0 for r in zero)
+
+
+def test_null_text_is_engine_portable(spark):
+    """NULL text coalesces to '' at the operator root: both engines see
+    the SAME input, so the latent size(NULL)=-1 (Spark) vs len(NULL)=NULL
+    (DuckDB) divergence can never surface. Cross-checked against the
+    entry module's actual DuckDB fragments."""
+    import pathlib
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entrymod
+    from ocr_pipeline_spark.operators.textstats import token_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "Hello,  World")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in token_stats(df).collect()}
+    # '' normalizes to one empty whitespace token, zero words/punct
+    assert got[1] == {
+        "doc_id": 1, "ws_tokens": 1, "words": 0, "norm_chars": 0,
+        "punct_chars": 0, "distinct_tokens": 1,
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [1, 2], "text": [None, "Hello,  World"]})
+    )
+    orows = {
+        r[0]: r
+        for r in con.execute(entrymod.oracle_sql()["ts_token_stats"]).fetchall()
+    }
+    for doc_id, r in got.items():
+        assert tuple(orows[doc_id]) == (
+            r["doc_id"], r["ws_tokens"], r["words"], r["norm_chars"],
+            r["punct_chars"], r["distinct_tokens"],
+        )
+
+    # lang_id_multi and the PII counters on NULL text: defined, zero-ish
+    got_l = {r["doc_id"]: r.asDict() for r in lang_id_multi(df).collect()}
+    assert got_l[1]["lang_guess"] == "unknown"
+    got_p = {
+        r["doc_id"]: r.asDict() for r in with_scrubbed_text(df).collect()
+    }
+    assert got_p[1]["scrubbed"] == ""
+    assert (got_p[1]["n_email"], got_p[1]["n_ip"], got_p[1]["n_phone"]) == (0, 0, 0)
