@@ -103,14 +103,49 @@ def run_headline(sf_dir: str, cores: str) -> dict:
         t0 = time.monotonic()
         _force(df)
         timings[name] = round(time.monotonic() - t0, 3)
+    recall = _ann_recall(spark, sf_dir)
     spark.stop()
     return {
         "metric": "headline query suite wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "recall": recall,
         "sf": sf,
     }
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
+    """Recall@k of the approximate top-k paths vs brute force, reported
+    per run so a regression in the md5-seeded plane/centroid constants
+    is visible in the bench artifact (untimed — not part of `value`).
+    Result sets are len(query_ids)×k rows: a bounded collect."""
+    from ocr_pipeline_spark.operators.similarity import (
+        ann_topk,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+
+    def _sets(df) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {q: set() for q in qids}
+        for r in df.collect():
+            out[r["query_id"]].add(r["neighbor_id"])
+        return out
+
+    truth = _sets(brute_force_topk(emb, query_ids=qids, k=k))
+    denom = sum(len(v) for v in truth.values())
+    out = {}
+    for name, df in (
+        ("ann_topk", ann_topk(emb, query_ids=qids, k=k)),
+        ("ivf_topk", ivf_topk(emb, query_ids=qids, k=k)),
+    ):
+        got = _sets(df)
+        hits = sum(len(truth[q] & got[q]) for q in qids)
+        out[f"{name}@{k}"] = round(hits / denom, 3)
+    return out
 
 
 def run_scaling(n_small: int, sf: float, n_pages: int | None) -> dict:
