@@ -86,6 +86,10 @@ from ocr_pipeline_spark.operators.temporal import (
     interval_join_count,
     sessionize,
 )
+from ocr_pipeline_spark.operators.decontam import (
+    GRAMS_SQL,
+    contamination_flags,
+)
 from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
 from ocr_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
@@ -180,6 +184,8 @@ _VALIDATION_PRIORITY = [
     "a_percentiles",
     "w_moving_avg",
     "p_json_extract",
+    # new in round 3 — never driver-run yet
+    "ct_contamination",
 ]
 
 
@@ -338,6 +344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": lambda s, d: media_features_packed(
             _media_df(s)
         ).orderBy("media_id"),
+        # -- benchmark decontamination: every doc screened against the
+        #    n-gram set of a "benchmark suite" (deterministically chosen
+        #    as the doc_id%97==0 docs, so hits are guaranteed non-vacuous
+        #    — those docs self-match at 100%) -------------------------------
+        "ct_contamination": lambda s, d: contamination_flags(
+            _t(s, d, "documents"),
+            _t(s, d, "documents").filter(F.col("doc_id") % 97 == 0),
+        ),
         # -- curation composite: quality + lang + exact dedup ---------------
         "cur_exact_keep": lambda s, d: curate(
             _t(s, d, "documents"), langs=("en",), dedup="exact"
@@ -1620,6 +1634,22 @@ def oracle_sql() -> dict[str, str]:
                                WHERE doc_id % 2 = 1 GROUP BY fp))
             SELECT doc_id FROM kept_odd o
             WHERE NOT EXISTS (SELECT 1 FROM kept_even e WHERE e.fp = o.fp)
+        """,
+        "ct_contamination": f"""
+            WITH g AS (
+              SELECT doc_id, substr(md5(gram), 1, 16) AS gk
+              FROM (SELECT doc_id, unnest({GRAMS_SQL("text")}) AS gram
+                    FROM documents)),
+            bench AS (SELECT DISTINCT gk FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id,
+                   cast(count(*) as bigint) AS n_grams,
+                   cast(sum(case when b.gk is not null then 1 else 0 end)
+                        as bigint) AS n_hit,
+                   100 * cast(sum(case when b.gk is not null then 1 else 0
+                              end) as bigint) >= 10 * cast(count(*) as bigint)
+                     AS is_contaminated
+            FROM g LEFT JOIN bench b ON g.gk = b.gk
+            GROUP BY g.doc_id
         """,
         "st_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -191,6 +191,28 @@ def test_ann_topk_no_vectors_cross_shuffles(spark):
         assert "embedding" not in b and "qvec" not in b, b
 
 
+def test_contamination_gram_keys_never_shuffle(spark):
+    """contamination_flags' scale contract: the benchmark key set
+    broadcasts; the only corpus-sized exchange is the per-doc partial
+    agg carrying (doc_id, two ints) — no gram key or text column."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.decontam import contamination_flags
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = contamination_flags(docs, docs.filter(F.col("doc_id") % 97 == 0))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    corpus_shuffles = [
+        b for b in _shuffle_blocks(df) if "doc_id" in b
+    ]
+    assert corpus_shuffles
+    for b in corpus_shuffles:
+        assert "gk" not in b and "text" not in b and "_gks" not in b, b
+    assert "partial_" in plan  # map-side combine before that exchange
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The union-window as-of construction: exactly one exchange (on the
     key), never a nested-loop join."""
