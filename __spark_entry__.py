@@ -90,6 +90,16 @@ from ocr_pipeline_spark.operators.decontam import (
     GRAMS_SQL,
     contamination_flags,
 )
+from ocr_pipeline_spark.kernels.bpe import (
+    TRAIN_CORPUS as BPE_CORPUS,
+)
+from ocr_pipeline_spark.kernels.bpe import (
+    train_merges as kernel_train_merges,
+)
+from ocr_pipeline_spark.kernels.bpe import (
+    word_frequencies as kernel_word_freqs,
+)
+from ocr_pipeline_spark.operators.bpe import bpe_encode, bpe_train
 from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
 from ocr_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
@@ -186,6 +196,8 @@ _VALIDATION_PRIORITY = [
     "p_json_extract",
     # new in round 3 — never driver-run yet
     "ct_contamination",
+    "bpe_merges",
+    "bpe_encode",
 ]
 
 
@@ -351,6 +363,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_contamination": lambda s, d: contamination_flags(
             _t(s, d, "documents"),
             _t(s, d, "documents").filter(F.col("doc_id") % 97 == 0),
+        ),
+        # -- BPE tokenizer (operators/bpe.py): the distributed trainer
+        #    runs real pair-count/argmax rounds on Spark; the oracle is
+        #    the pure-Python kernel's merge table over the same corpus
+        #    (kernel-is-spec, same as the x_* oracles)
+        "bpe_merges": _bpe_merges_query,
+        # expression-fold encoding of the documents corpus with the
+        # TRAIN_CORPUS-learned merges (kernel-trained: proven equal to
+        # the distributed trainer in tests/test_bpe.py); the oracle
+        # replays the SAME left-to-right folds as generated DuckDB
+        # list_reduce chains — a corpus-dependent cross-engine check
+        "bpe_encode": lambda s, d: bpe_encode(
+            _t(s, d, "documents").select("doc_id", "text"), _bpe_merges()
+        ).select(
+            "doc_id",
+            F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         ),
         # -- curation composite: quality + lang + exact dedup ---------------
         "cur_exact_keep": lambda s, d: curate(
@@ -992,6 +1021,90 @@ def _synth_media_cached(n: int = 200):
 
 
 _SYNTH_MEDIA: dict = {}
+
+
+def _bpe_merges() -> list:
+    """Kernel-trained merge table over BPE_CORPUS (cached). The
+    distributed trainer produces the identical table (asserted in
+    tests/test_bpe.py::test_distributed_train_equals_kernel)."""
+    if not _BPE_MERGES:
+        _BPE_MERGES.append(
+            kernel_train_merges(kernel_word_freqs(list(BPE_CORPUS)), 24)
+        )
+    return _BPE_MERGES[0]
+
+
+_BPE_MERGES: list = []
+
+
+def _bpe_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training on the deterministic corpus; the merge
+    table IS the result set (rank-ordered, one row per learned merge)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BPE_CORPUS)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=24)
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.merged, m.pair_count) for m in merges],
+        "rank long, left string, right string, merged string, "
+        "pair_count long",
+    )
+
+
+def _bpe_merges_oracle() -> str:
+    rows = [
+        f"({m.rank}, '{_sql_quote(m.left)}', '{_sql_quote(m.right)}', "
+        f"'{_sql_quote(m.merged)}', {m.pair_count})"
+        for m in _bpe_merges()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(rank, \"left\", \"right\", merged, pair_count)"
+    )
+
+
+_BPE_SEP = "\x1f"  # symbol separator: asserted absent from the corpus
+
+
+def _bpe_fold_sql(prev: str, left: str, right: str) -> str:
+    """One kernel ``apply_merge`` fold as DuckDB: symbols travel as a
+    \\x1f-joined string, list_reduce's no-init first element is the
+    natural seed, and a (left, right) hit appends ``right`` WITHOUT the
+    separator — concatenation IS the merge. ``suffix`` needs the
+    separator guard so only a whole last symbol matches ``left``."""
+    for s in (left, right):
+        assert "'" not in s and _BPE_SEP not in s, s
+    return (
+        f"list_reduce(string_split({prev}, '{_BPE_SEP}'), (acc,x) -> "
+        f"CASE WHEN x='{right}' AND (acc='{left}' OR "
+        f"suffix(acc,'{_BPE_SEP}{left}')) THEN acc||x "
+        f"ELSE acc||'{_BPE_SEP}'||x END)"
+    )
+
+
+def _bpe_encode_sql() -> str:
+    """bpe_encode oracle: per word, char-split then one generated
+    list_reduce fold per merge in rank order — the same left-to-right
+    spec the Spark expression path and the kernel implement. The ''
+    filter mirrors chars_col dropping the empty word ('' normalizes to
+    [''] whose char split is empty on both engines)."""
+    expr = f"array_to_string(string_split(w,''), '{_BPE_SEP}')"
+    for m in _bpe_merges():
+        expr = _bpe_fold_sql(expr, m.left, m.right)
+    enc_word = (
+        f"list_filter(string_split({expr}, '{_BPE_SEP}'), s -> s != '')"
+    )
+    return f"""
+        SELECT doc_id,
+               array_to_string(toks, ' ') AS bpe_text,
+               len(toks)::BIGINT AS n_bpe_tokens
+        FROM (
+          SELECT doc_id,
+                 flatten(list_transform({_TOKS}, w -> {enc_word})) AS toks
+          FROM documents)
+    """
 
 
 def _dbl(v: float) -> str:
@@ -1651,6 +1764,8 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN bench b ON g.gk = b.gk
             GROUP BY g.doc_id
         """,
+        "bpe_merges": _bpe_merges_oracle(),
+        "bpe_encode": _bpe_encode_sql(),
         "st_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
