@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.dedup import (
     MINHASH_P,
+    chunk_dedup,
     dup_clusters,
     exact_dedup,
     jaccard_verify,
@@ -198,6 +199,7 @@ _VALIDATION_PRIORITY = [
     "ct_contamination",
     "bpe_merges",
     "bpe_encode",
+    "dd_chunk_dedup",
 ]
 
 
@@ -276,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("doc_a", "doc_b")
         ),
         "dd_jaccard_bucket": _dd_jaccard_bucket,
+        # passage-level exact dedup: k-token chunks, one corpus-wide
+        # copy each (winner = min (doc_id, chunk_idx)), docs reassembled
+        # from surviving chunks (see chunk_dedup docstring for the
+        # scale shape: winner election shuffles 16-hex + ids only)
+        "dd_chunk_dedup": lambda s, d: chunk_dedup(_t(s, d, "documents")),
         # -- training-data ops: fingerprinting -----------------------------
         "fp_rolling": lambda s, d: _t(s, d, "documents").select(
             "doc_id", rolling_hash(F.col("text")).alias("rhash")
@@ -1646,6 +1653,39 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "dd_chunk_dedup": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            c AS (SELECT doc_id,
+                         list_transform(range(0, ((len(toks)-1)//10)+1),
+                           i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+                           AS chunks
+                  FROM t),
+            e AS (SELECT doc_id,
+                         unnest(list_transform(range(0, len(chunks)),
+                           i -> struct_pack(idx := i, chunk := chunks[i+1])))
+                           AS u
+                  FROM c),
+            kk AS (SELECT doc_id, u.idx AS chunk_idx,
+                          substr(md5(u.chunk), 1, 16) AS chash
+                   FROM e),
+            kept AS (SELECT doc_id, chunk_idx FROM (
+                       SELECT doc_id, chunk_idx,
+                              row_number() OVER (PARTITION BY chash
+                                ORDER BY doc_id, chunk_idx) AS rn
+                       FROM kk) WHERE rn = 1),
+            kl AS (SELECT doc_id, list_sort(list(chunk_idx)) AS kept_idx
+                   FROM kept GROUP BY doc_id)
+            SELECT c.doc_id,
+                   -- DuckDB's array_to_string([]) is NULL, Spark's
+                   -- array_join([]) is '' — coalesce to the sentinel
+                   coalesce(array_to_string(list_transform(
+                     list_filter(range(0, len(chunks)),
+                       i -> list_contains(coalesce(kept_idx, []), i)),
+                     i -> chunks[i+1]), ' '), '') AS dedup_text,
+                   len(chunks)::BIGINT AS n_chunks,
+                   coalesce(len(kept_idx), 0)::BIGINT AS n_kept
+            FROM c LEFT JOIN kl ON c.doc_id = kl.doc_id
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),

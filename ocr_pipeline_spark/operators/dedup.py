@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .textstats import fingerprint, norm_text, tokens
 
 __all__ = [
+    "chunk_dedup",
     "exact_dedup",
     "shingles",
     "shingle_sets",
@@ -562,4 +563,107 @@ def simhash_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Passage-level exact dedup (the C4/CCNet line-dedup analogue for
+    corpora without line structure): split each document's normalized
+    token stream into consecutive ``k``-token chunks, keep exactly one
+    corpus-wide copy of every distinct chunk — the winner is the
+    lexicographically smallest (doc_id, chunk_idx) — and reassemble each
+    document from its surviving chunks in order.
+
+    Output: (doc_id, dedup_text, n_chunks, n_kept).
+
+    Scale shape (10^12 docs):
+    - chunking + hashing are scan-local staged projections (no CSE in
+      Catalyst — the token array is materialized once per stage);
+    - the winner election shuffles ONLY (chash 16-hex, doc_id,
+      chunk_idx) shorts — groupBy(chash) with map-side partial min;
+    - chunk TEXT crosses exactly one exchange: the final doc_id
+      reassembly join (chunk arrays rejoin their kept-index list).
+      On a bucketed-by-doc_id table that join is co-located and
+      shuffle-free; the winner side is (doc_id, sorted int list) —
+      orders of magnitude smaller than the corpus.
+    - the hash join key is md5-derived: wrapped non-nullable via the
+      posexplode_outer/isNotNull staging, and chash itself is
+      min()-aggregated, never filtered — no inferred-isnotnull
+      re-inlining (CLAUDE.md derived-join-key rule).
+
+    DuckDB oracle: __spark_entry__ replays the same chunking/election
+    with row_number over (chash) — `q: dd_chunk_dedup`.
+    """
+    if k < 1:
+        raise ValueError(f"chunk size must be >= 1, got {k}")
+    staged = docs.select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    )
+    # chunk array: tokens[i*k : (i+1)*k] joined by ' '; tokens() is
+    # never empty ('' normalizes to ['']), so the sequence bound
+    # floor((n-1)/k) >= 0 always holds
+    chunked = staged.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("toks") - F.lit(1)) / F.lit(k)).cast("int"),
+            ),
+            lambda i: F.array_join(
+                F.slice(F.col("toks"), i * F.lit(k) + F.lit(1), F.lit(k)),
+                " ",
+            ),
+        ).alias("chunks"),
+    )
+    keyed = (
+        chunked.select(
+            "doc_id",
+            F.posexplode_outer("chunks").alias("chunk_idx", "chunk"),
+        )
+        .filter(F.col("chunk").isNotNull())
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(F.md5(F.encode(F.col("chunk"), "UTF-8")), 1, 16)
+            .alias("chash"),
+        )
+    )
+    winners = keyed.groupBy("chash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    kept_lists = (
+        keyed.join(winners, "chash")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("chunk_idx") == F.col("w.chunk_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept_idx"))
+    )
+    return (
+        chunked.join(kept_lists, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.filter(
+                    F.col("chunks"),
+                    lambda c, i: F.array_contains(
+                        F.coalesce(
+                            F.col("kept_idx"),
+                            F.array().cast("array<int>"),
+                        ),
+                        i,
+                    ),
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.size("chunks").cast("long").alias("n_chunks"),
+            F.size(
+                F.coalesce(F.col("kept_idx"), F.array().cast("array<int>"))
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
     )

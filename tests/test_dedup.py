@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.dedup import (
+    chunk_dedup,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -151,3 +152,42 @@ def test_simhash_numpy_matches_expression_definition(spark, corpus):
         a = sorted(map(tuple, simhash_signatures(df).collect()))
         b = sorted(map(tuple, simhash_signatures_expr(df).collect()))
         assert a == b
+
+
+def test_chunk_dedup_semantics(spark):
+    # doc 10: 12 tokens -> chunks [t0..t9], [t10 t11]
+    # doc 20: same first chunk (winner is doc 10), unique tail
+    # doc 30: exact copy of doc 10 -> loses everything
+    # doc 40: '' text -> one '' chunk, shared corpus-wide with nothing
+    # doc 50: NULL text -> normalizes like doc 40 ('' chunk, loses to it)
+    base = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        (10, base + " t10 t11"),
+        (20, base + " u0 u1"),
+        (30, base + " t10 t11"),
+        (40, ""),
+        (50, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dedup_text"], r["n_chunks"], r["n_kept"])
+        for r in chunk_dedup(docs).collect()
+    }
+    assert got[10] == (base + " t10 t11", 2, 2)
+    assert got[20] == ("u0 u1", 2, 1)       # first chunk lost to doc 10
+    assert got[30] == ("", 2, 0)            # full duplicate vanishes
+    assert got[40] == ("", 1, 1)            # '' chunk, doc 40 wins it
+    assert got[50] == ("", 1, 0)            # NULL normalizes to '' too
+
+
+def test_chunk_dedup_partition_independent(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, chunk_dedup(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, chunk_dedup(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_chunk_dedup_rejects_bad_k(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_dedup(docs, k=0)

@@ -283,3 +283,26 @@ def test_pack_sequences_single_window_shuffle(spark):
     plan = _plan(pack_sequences(docs, "n_chars", budget=4096, shard_col="lang"))
     assert plan.count("Exchange") == 1       # one shuffle: the shard window
     assert " text#" not in plan              # text pruned at the scan
+
+
+def test_chunk_dedup_election_shuffles_hashes_only(spark):
+    """chunk_dedup's scale contract: the winner-election exchanges
+    (everything keyed on the 16-hex chunk hash) carry only (chash,
+    doc_id, chunk_idx) shorts; chunk TEXT crosses exactly one exchange
+    — the final doc_id reassembly join, as the docstring accounts."""
+    from ocr_pipeline_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = chunk_dedup(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    blocks = _shuffle_blocks(df)
+    assert blocks
+    text_blocks = [
+        b for b in blocks if "chunks#" in b or "chunk#" in b or "text#" in b
+    ]
+    assert len(text_blocks) <= 1, text_blocks
+    for b in blocks:
+        if "chash#" in b:
+            assert "chunk#" not in b and "chunks#" not in b, b
