@@ -104,6 +104,7 @@ def run_headline(sf_dir: str, cores: str) -> dict:
         _force(df)
         timings[name] = round(time.monotonic() - t0, 3)
     recall = _ann_recall(spark, sf_dir)
+    tokenizer = _bpe_throughput(spark, sf_dir)
     spark.stop()
     return {
         "metric": "headline query suite wall time",
@@ -111,7 +112,38 @@ def run_headline(sf_dir: str, cores: str) -> dict:
         "unit": "sec",
         "queries": timings,
         "recall": recall,
+        "tokenizer": tokenizer,
         "sf": sf,
+    }
+
+
+def _bpe_throughput(spark: SparkSession, sf_dir: str) -> dict:
+    """BPE bulk-encode throughput over the documents table (untimed —
+    not part of `value`, reported like `recall` so tokenizer-path
+    regressions are visible). Uses the production Arrow encoder
+    (bpe_encode_pandas); the expression path is the cross-engine spec
+    form and is validated by the driver's bpe_encode query instead."""
+    from ocr_pipeline_spark.kernels.bpe import (
+        TRAIN_CORPUS,
+        train_merges,
+        word_frequencies,
+    )
+    from ocr_pipeline_spark.operators.bpe import bpe_encode_pandas
+
+    merges = train_merges(word_frequencies(list(TRAIN_CORPUS)), 24)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    _force(bpe_encode_pandas(docs, merges))  # warm the Python workers
+    t0 = time.monotonic()
+    _force(bpe_encode_pandas(docs, merges))
+    dt = time.monotonic() - t0
+    return {
+        "encode_sec": round(dt, 3),
+        "docs_per_sec": round(n / dt, 1),
+        "n_docs": n,
+        "n_merges": len(merges),
     }
 
 
