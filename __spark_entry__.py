@@ -39,6 +39,10 @@ from ocr_pipeline_spark.operators.dedup import (
     simhash_signatures,
     simhash_table_combos,
 )
+from ocr_pipeline_spark.operators.classifier import (
+    bucket_weights,
+    quality_scores,
+)
 from ocr_pipeline_spark.operators.extraction import (
     debug_overlay_pages,
     explode_blocks,
@@ -138,6 +142,26 @@ def _synth_pages_df(spark: SparkSession, n: int = 150, seed: int = 42) -> DataFr
 _NORM = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+# per-token (doc_id, is_quality, bucket) rows — the classifier
+# operator's bucketed view (operators/classifier.py), same quality
+# predicates as the ts_quality_flags oracle, 48-bit md5 token hash
+_QC_BUCKETED_SQL = f"""
+  SELECT doc_id, is_quality,
+         ('0x' || substr(md5(tok), 1, 12))::BIGINT % 256 AS bucket
+  FROM (
+    SELECT doc_id,
+           ((n_tokens >= 5 AND n_tokens <= 100000)
+            AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens
+                 AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens)
+            AND (50 * stop_hits >= n_tokens)) AS is_quality,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tokens,
+                 length({_NORM}) AS n_chars,
+                 len(list_filter({_TOKS},
+                     x -> list_contains({_STOP_SQL}, x))) AS stop_hits
+          FROM documents))
+"""
+
 _SHINGLES = (
     f"case when len({_TOKS}) < 3 then [{_NORM}] else "
     f"list_distinct(list_transform(range(0, len({_TOKS}) - 2), "
@@ -200,6 +224,8 @@ _VALIDATION_PRIORITY = [
     "bpe_merges",
     "bpe_encode",
     "dd_chunk_dedup",
+    "qc_bucket_weights",
+    "qc_scores",
 ]
 
 
@@ -260,6 +286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ).select("doc_id", "scrubbed", "n_email", "n_ip", "n_phone"),
+        # -- model-based quality scoring (operators/classifier.py):
+        #    distill the heuristic is_quality label into a hashed
+        #    token-bucket model, score every doc — fixed-point exact
+        #    arithmetic so train+score is value-checked end-to-end
+        "qc_bucket_weights": lambda s, d: bucket_weights(
+            _t(s, d, "documents")
+        ),
+        "qc_scores": lambda s, d: quality_scores(_t(s, d, "documents")),
         # -- training-data ops: dedup --------------------------------------
         "dd_exact": lambda s, d: exact_dedup(_t(s, d, "documents")),
         "dd_minhash": lambda s, d: minhash_signatures(_t(s, d, "documents")),
@@ -1523,6 +1557,30 @@ def oracle_sql() -> dict[str, str]:
                     AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens)
                     AND (50 * stop_hits >= n_tokens)) AS is_quality
             FROM t
+        """,
+        "qc_bucket_weights": f"""
+            WITH b AS ({_QC_BUCKETED_SQL})
+            SELECT bucket,
+                   cast(sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                        as bigint) AS n_quality,
+                   cast(count(*) as bigint) AS n_total,
+                   (1000000 * (sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                               + 1)) // (count(*) + 2) AS weight
+            FROM b GROUP BY bucket
+        """,
+        "qc_scores": f"""
+            WITH b AS ({_QC_BUCKETED_SQL}),
+            w AS (
+              SELECT bucket,
+                     (1000000 * (sum(CASE WHEN is_quality THEN 1 ELSE 0
+                                 END) + 1)) // (count(*) + 2) AS weight
+              FROM b GROUP BY bucket)
+            SELECT doc_id,
+                   sum(weight) // count(*) AS quality_score,
+                   cast(count(*) as bigint) AS n_scored_tokens,
+                   bool_or(is_quality) AS is_quality
+            FROM b JOIN w USING (bucket)
+            GROUP BY doc_id
         """,
         "ts_langid": f"""
             WITH t AS (

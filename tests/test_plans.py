@@ -306,3 +306,19 @@ def test_chunk_dedup_election_shuffles_hashes_only(spark):
     for b in blocks:
         if "chash#" in b:
             assert "chunk#" not in b and "chunks#" not in b, b
+
+
+def test_quality_scores_single_scan_no_text_shuffle(spark):
+    """quality_scores' scale contract: the lazily checkpointed bucketed
+    view feeds BOTH the weight aggregation and the scoring aggregation
+    (one corpus scan), the weight table joins as a broadcast (no
+    shuffle), and no exchange carries the text payload."""
+    from ocr_pipeline_spark.operators.classifier import quality_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = quality_scores(docs)
+    plan = _plan(df)
+    assert plan.count("FileScan") <= 1
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for b in _shuffle_blocks(df):
+        assert "text#" not in b, b
