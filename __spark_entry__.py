@@ -226,6 +226,7 @@ _VALIDATION_PRIORITY = [
     "dd_chunk_dedup",
     "qc_bucket_weights",
     "qc_scores",
+    "a_rollup_stats",
 ]
 
 
@@ -483,6 +484,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_interval_clicks": _t_interval_clicks,
         "t_sessions": _t_sessions,
         # -- metrics rollup / window frame / json projection / set op ------
+        # hierarchical corpus stats: ROLLUP(lang, source) with a
+        # grouping_id disambiguator (real NULLs vs rolled-up NULLs) —
+        # Spark's rollup bit order is first-column-MSB, mirrored in the
+        # oracle as 2*grouping(lang)+grouping(source)
+        "a_rollup_stats": lambda s, d: _t(s, d, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        ),
         "a6_metrics_rollup": _a6_metrics_rollup,
         "a_percentiles": _a_percentiles,
         "w_moving_avg": _w_moving_avg,
@@ -1934,6 +1953,16 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL '30 minutes' AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "a_rollup_stats": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   cast(2 * grouping(lang) + grouping(source) as bigint)
+                     AS gid,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(n_chars) as bigint) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
         """,
         "a6_metrics_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
