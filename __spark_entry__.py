@@ -42,6 +42,7 @@ from ocr_pipeline_spark.operators.dedup import (
 from ocr_pipeline_spark.operators.classifier import (
     bucket_weights,
     quality_scores,
+    select_top_fraction,
 )
 from ocr_pipeline_spark.operators.extraction import (
     debug_overlay_pages,
@@ -226,6 +227,7 @@ _VALIDATION_PRIORITY = [
     "dd_chunk_dedup",
     "qc_bucket_weights",
     "qc_scores",
+    "qc_top_fraction",
     "a_rollup_stats",
 ]
 
@@ -295,6 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "qc_scores": lambda s, d: quality_scores(_t(s, d, "documents")),
+        # "take the best 25%" by soft score — distributed top-k
+        # (TakeOrderedAndProject), deterministic via doc_id tie-break;
+        # 0.25 is binary-exact so ceil(frac*N) matches across engines
+        "qc_top_fraction": lambda s, d: select_top_fraction(
+            _t(s, d, "documents"), frac=0.25
+        ),
         # -- training-data ops: dedup --------------------------------------
         "dd_exact": lambda s, d: exact_dedup(_t(s, d, "documents")),
         "dd_minhash": lambda s, d: minhash_signatures(_t(s, d, "documents")),
@@ -1600,6 +1608,23 @@ def oracle_sql() -> dict[str, str]:
                    bool_or(is_quality) AS is_quality
             FROM b JOIN w USING (bucket)
             GROUP BY doc_id
+        """,
+        "qc_top_fraction": f"""
+            WITH b AS ({_QC_BUCKETED_SQL}),
+            w AS (
+              SELECT bucket,
+                     (1000000 * (sum(CASE WHEN is_quality THEN 1 ELSE 0
+                                 END) + 1)) // (count(*) + 2) AS weight
+              FROM b GROUP BY bucket),
+            s AS (
+              SELECT doc_id, sum(weight) // count(*) AS quality_score
+              FROM b JOIN w USING (bucket)
+              GROUP BY doc_id)
+            SELECT doc_id, quality_score
+            FROM s
+            QUALIFY row_number() OVER (ORDER BY quality_score DESC,
+                                       doc_id)
+                    <= greatest(1, ceil(0.25 * (SELECT count(*) FROM s)))
         """,
         "ts_langid": f"""
             WITH t AS (

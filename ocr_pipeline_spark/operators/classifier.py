@@ -32,6 +32,8 @@ Scale shape (10^12 docs):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,6 +43,7 @@ __all__ = [
     "QC_SCALE",
     "bucket_weights",
     "quality_scores",
+    "select_top_fraction",
 ]
 
 QC_SCALE = 1_000_000
@@ -129,4 +132,36 @@ def quality_scores(
             "n_scored_tokens",
             (F.col("_q") == 1).alias("is_quality"),
         )
+    )
+
+
+def select_top_fraction(
+    docs: DataFrame,
+    frac: float = 0.25,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The "take the best X%" curation step the soft score exists for:
+    the top ``ceil(frac * N)`` documents by (quality_score DESC, doc_id)
+    — doc_id breaks ties, so the selected SET is deterministic.
+
+    Scale shape: Spark compiles sort+limit to TakeOrderedAndProject —
+    per-partition top-k then a single k-row merge, NO global sort and
+    no range-repartition of the corpus (pinned by a plan test). The
+    corpus count is one bounded driver scalar (the bpe_train
+    precedent); rows carry (doc_id, score) shorts only.
+
+    Cross-engine note: k = ceil(frac * N) in IEEE doubles on both
+    sides — use binary-exact fractions (0.25, 0.5, 0.125, ...) when
+    the oracle replays the ceil, per the 53-bit-mantissa rule.
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    scored = quality_scores(docs, n_buckets=n_buckets, text_col=text_col)
+    n = scored.count()
+    k = max(1, math.ceil(frac * n))
+    return (
+        scored.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "quality_score")
     )

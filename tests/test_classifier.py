@@ -83,3 +83,21 @@ def test_scores_on_real_corpus_discriminate(spark):
     # distillation sanity: mean score of quality-labeled docs exceeds
     # the mean of the rest (weak but must hold for a working model)
     assert sum(q) / len(q) > sum(n) / len(n)
+
+
+def test_top_fraction_selects_best_quarter(spark, corpus):
+    from ocr_pipeline_spark.operators.classifier import (
+        select_top_fraction,
+    )
+
+    top = select_top_fraction(corpus, frac=0.25).collect()
+    assert len(top) == 4  # ceil(0.25 * 16)
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_scores(corpus).collect()
+    }
+    cutoff = sorted(scores.values(), reverse=True)[3]
+    assert all(r["quality_score"] >= cutoff for r in top)
+    assert all(r["doc_id"] < 100 for r in top)  # all from the GOOD half
+    with pytest.raises(ValueError):
+        select_top_fraction(corpus, frac=0.0)

@@ -322,3 +322,17 @@ def test_quality_scores_single_scan_no_text_shuffle(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     for b in _shuffle_blocks(df):
         assert "text#" not in b, b
+
+
+def test_top_fraction_is_take_ordered_not_global_sort(spark):
+    """select_top_fraction's scale contract: sort+limit compiles to
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    range-repartitioned global Sort of the corpus."""
+    from ocr_pipeline_spark.operators.classifier import (
+        select_top_fraction,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(select_top_fraction(docs, frac=0.25))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
