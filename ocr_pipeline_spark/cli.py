@@ -20,6 +20,10 @@ Usage (also via spark-submit — the module is import-safe):
         --out /tmp/extracted --checkpoint /tmp/ckpt --available-now
     python -m ocr_pipeline_spark.cli warc    --input 'crawl/*.warc.gz' \
         --out /tmp/pages
+    python -m ocr_pipeline_spark.cli tokenize --input /tmp/docs \
+        --out /tmp/tokens --train-on-corpus
+    python -m ocr_pipeline_spark.cli score   --input /tmp/docs \
+        --out /tmp/best --top-fraction 0.25
 """
 
 from __future__ import annotations
@@ -83,6 +87,37 @@ def _cmd_curate(args) -> None:
     )
 
 
+def _cmd_tokenize(args) -> None:
+    from .kernels.bpe import TRAIN_CORPUS, train_merges, word_frequencies
+    from .operators.bpe import bpe_encode_pandas, bpe_train
+
+    spark = get_spark("cli-tokenize", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    if args.train_on_corpus:
+        merges = bpe_train(docs, n_merges=args.merges)
+    else:
+        merges = train_merges(
+            word_frequencies(list(TRAIN_CORPUS)), args.merges
+        )
+    bpe_encode_pandas(docs, merges).write.mode("overwrite").parquet(
+        args.out
+    )
+    print(f"encoded with {len(merges)} merges -> {args.out}")
+
+
+def _cmd_score(args) -> None:
+    from .operators.classifier import quality_scores, select_top_fraction
+
+    spark = get_spark("cli-score", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    if args.top_fraction is not None:
+        out = select_top_fraction(docs, frac=args.top_fraction)
+    else:
+        out = quality_scores(docs)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote quality scores to {args.out}")
+
+
 def _cmd_warc(args) -> None:
     from .sources.warc import read_warc
 
@@ -132,6 +167,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scrub", action="store_true",
                    help="redact PII in the surviving text")
     p.set_defaults(fn=_cmd_curate)
+
+    p = sub.add_parser(
+        "tokenize", help="BPE-encode a documents table (Arrow bulk path)"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--merges", type=int, default=24)
+    p.add_argument(
+        "--train-on-corpus",
+        action="store_true",
+        help="train the merge table on the input corpus (distributed) "
+        "instead of the fixed TRAIN_CORPUS tokenizer",
+    )
+    p.set_defaults(fn=_cmd_tokenize)
+
+    p = sub.add_parser(
+        "score", help="model-based quality scores for a documents table"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--top-fraction",
+        type=float,
+        default=None,
+        help="keep only the best FRAC of docs by score",
+    )
+    p.set_defaults(fn=_cmd_score)
 
     p = sub.add_parser("warc", help="ingest WARC archives into a pages table")
     p.add_argument("--input", required=True)

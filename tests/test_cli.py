@@ -17,6 +17,8 @@ def test_parser_subcommands():
         ["stream", "--input", "a", "--out", "b", "--checkpoint", "c"],
         ["warc", "--input", "a", "--out", "b"],
         ["curate", "--input", "a", "--out", "b"],
+        ["tokenize", "--input", "a", "--out", "b"],
+        ["score", "--input", "a", "--out", "b"],
     ):
         args = ap.parse_args(argv)
         assert callable(args.fn)
@@ -49,3 +51,23 @@ def test_synth_then_extract_roundtrip(spark, tmp_path, capfd):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 120
     assert got.filter(F.length("text") > 0).count() > 80
+
+
+def test_tokenize_and_score_roundtrip(spark, tmp_path, capfd):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tok_out = str(tmp_path / "tok")
+    main(["tokenize", "--input", src, "--out", tok_out, "--merges", "8"])
+    tok = spark.read.parquet(tok_out)
+    assert tok.columns == ["doc_id", "bpe_tokens"]
+    assert tok.count() == 500
+
+    score_out = str(tmp_path / "scores")
+    main(["score", "--input", src, "--out", score_out])
+    scores = spark.read.parquet(score_out)
+    assert scores.count() == 500
+    assert "quality_score" in scores.columns
+
+    top_out = str(tmp_path / "top")
+    main(["score", "--input", src, "--out", top_out,
+          "--top-fraction", "0.25"])
+    assert spark.read.parquet(top_out).count() == 125  # ceil(.25*500)
