@@ -78,6 +78,7 @@ from ocr_pipeline_spark.operators.pii import (
 )
 from ocr_pipeline_spark.operators.sketch import kmv_distinct
 from ocr_pipeline_spark.operators.splits import (
+    epoch_shuffle,
     hash_split,
     pack_sequences,
     stratified_sample,
@@ -229,6 +230,7 @@ _VALIDATION_PRIORITY = [
     "qc_scores",
     "qc_top_fraction",
     "a_rollup_stats",
+    "sp_epoch_shuffle",
 ]
 
 
@@ -486,6 +488,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             token_col="n_toks",
             budget=512,
             shard_col="lang",
+        ),
+        # deterministic per-epoch training-order permutation: shard by
+        # epoch-seeded md5, rank within shard — no RNG state anywhere
+        "sp_epoch_shuffle": lambda s, d: epoch_shuffle(
+            _t(s, d, "documents").select("doc_id"), n_shards=4, epoch=1
         ),
         # -- temporal: as-of join / interval join / session windows --------
         "t_asof_last_click": _t_asof_last_click,
@@ -1913,6 +1920,17 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    event_type, count(*) AS n_docs
             FROM events GROUP BY 1, 2, 3
+        """,
+        "sp_epoch_shuffle": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':epoch1'),
+                                   1, 12))::BIGINT % 4 AS shard,
+                   cast(row_number() OVER (
+                     PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR
+                                   || ':epoch1'), 1, 12))::BIGINT % 4
+                     ORDER BY md5(doc_id::VARCHAR || ':epoch1'), doc_id)
+                     as bigint) AS pos
+            FROM documents
         """,
         "sp_stratified": """
             SELECT doc_id, lang FROM (

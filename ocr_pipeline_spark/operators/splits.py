@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .textstats import _token_hash
 
 __all__ = [
+    "epoch_shuffle",
     "split_label",
     "hash_split",
     "domain_split",
@@ -168,3 +169,51 @@ def domain_split(
     fractions = fractions or {"train": 0.8, "valid": 0.1, "test": 0.1}
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
     return df.withColumn("split", split_label(host, fractions, seed))
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int = 4,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order permutation for one epoch: every
+    document gets (shard, pos) where shard = hash48(key) mod n_shards
+    and pos = its rank within the shard by (md5 key, id) — a different
+    ``epoch`` seeds a different md5 key, hence an independent
+    permutation, with NO RNG state anywhere (stable under reruns,
+    repartitioning, and appends, like every split in this module).
+
+    This is the corpus-shuffling step a training run does per epoch:
+    write one shard per output file in pos order and readers stream a
+    pseudo-random document order.
+
+    Scale shape: one shuffle on the shard key (rows are (id, 32-hex)
+    shorts); the within-shard rank is a window sort per shard — shards
+    bound sort size, so pick n_shards so a shard's (id, key) rows fit
+    a partition (10^12 docs / 10^4 shards = 10^8 short rows ~ 5 GB).
+    Output: (doc_id, shard, pos).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    staged = docs.select(
+        id_col,
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f":epoch{epoch}")
+            )
+        ).alias("_k"),
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        staged.select(
+            id_col,
+            (
+                F.conv(F.substring("_k", 1, 12), 16, 10).cast("long")
+                % F.lit(n_shards)
+            ).alias("shard"),
+            "_k",
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

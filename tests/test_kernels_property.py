@@ -107,3 +107,42 @@ def test_decode_payload_charset_roundtrip(doc, charset):
     blocks = segment_html(decoded)
     for b in blocks:
         assert decoded[b.span_start : b.span_end] is not None
+
+
+# --- BPE kernel properties (kernels/bpe.py) -------------------------------
+
+_words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+    min_size=0,
+    max_size=12,
+)
+_texts = st.lists(_words, min_size=0, max_size=20).map(" ".join)
+
+
+@given(_texts, st.integers(min_value=0, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_concatenation_preserves_text(text, n_merges):
+    from ocr_pipeline_spark.kernels.bpe import (
+        encode_text,
+        norm_words,
+        train_merges,
+        word_frequencies,
+    )
+
+    merges = train_merges(word_frequencies([text]), n_merges)
+    toks = encode_text(text, merges)
+    # lossless: concatenating the subword tokens restores the
+    # whitespace-normalized text with separators removed
+    assert "".join(toks) == "".join(w for w in norm_words(text))
+    # deterministic
+    assert toks == encode_text(text, merges)
+
+
+@given(st.lists(_words, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_bpe_apply_merge_never_lengthens(syms):
+    from ocr_pipeline_spark.kernels.bpe import apply_merge
+
+    out = apply_merge(syms, syms[0], syms[-1])
+    assert len(out) <= len(syms)
+    assert "".join(out) == "".join(syms)

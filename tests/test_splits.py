@@ -114,3 +114,25 @@ def test_pack_sequences_layout(spark):
         ("0", 0): (0, 0), ("0", 2): (0, 300), ("0", 4): (1, 88),
         ("1", 1): (0, 0), ("1", 3): (0, 300), ("1", 5): (1, 88),
     }
+
+
+def test_epoch_shuffle_is_a_permutation_and_epoch_varies(spark):
+    from ocr_pipeline_spark.operators.splits import epoch_shuffle
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    e1 = epoch_shuffle(docs, n_shards=4, epoch=1).collect()
+    assert len(e1) == 300
+    # every doc exactly once; positions are 1..count(shard) per shard
+    assert len({r["doc_id"] for r in e1}) == 300
+    by_shard: dict[int, list[int]] = {}
+    for r in e1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic under repartitioning
+    e1b = epoch_shuffle(docs.repartition(7), n_shards=4, epoch=1).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e1b))
+    # a different epoch yields a different permutation
+    e2 = epoch_shuffle(docs, n_shards=4, epoch=2).collect()
+    assert sorted(map(tuple, e1)) != sorted(map(tuple, e2))
