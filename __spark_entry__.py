@@ -80,6 +80,7 @@ from ocr_pipeline_spark.operators.sketch import kmv_distinct
 from ocr_pipeline_spark.operators.splits import (
     epoch_shuffle,
     hash_split,
+    mix_token_budget,
     pack_sequences,
     stratified_sample,
 )
@@ -231,6 +232,7 @@ _VALIDATION_PRIORITY = [
     "qc_top_fraction",
     "a_rollup_stats",
     "sp_epoch_shuffle",
+    "sp_mix_budget",
 ]
 
 
@@ -488,6 +490,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             token_col="n_toks",
             budget=512,
             shard_col="lang",
+        ),
+        # data mixing: per-source sampling rates hit target token
+        # shares under a 2000-token budget (src3 at 10000bp exercises
+        # the take-everything cap); exact bigint arithmetic throughout
+        "sp_mix_budget": lambda s, d: mix_token_budget(
+            _t(s, d, "documents").select(
+                "doc_id",
+                "source",
+                F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+            ),
+            {"src0": 5000, "src1": 3000, "src2": 2000, "src3": 10000},
+            budget=2000,
         ),
         # deterministic per-epoch training-order permutation: shard by
         # epoch-seeded md5, rank within shard — no RNG state anywhere
@@ -1920,6 +1934,22 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    event_type, count(*) AS n_docs
             FROM events GROUP BY 1, 2, 3
+        """,
+        "sp_mix_budget": f"""
+            WITH d AS (SELECT doc_id, source, cast(len({_TOKS}) as bigint)
+                              AS n_toks FROM documents),
+            sh AS (SELECT * FROM (VALUES ('src0', 5000), ('src1', 3000),
+                                         ('src2', 2000), ('src3', 10000))
+                   AS t(source, share_bp)),
+            r AS (SELECT d.source,
+                         least(10000, (2000 * share_bp) // sum(n_toks))
+                           AS rate_bp
+                  FROM d JOIN sh USING (source)
+                  GROUP BY d.source, share_bp)
+            SELECT doc_id, source, n_toks, rate_bp
+            FROM d JOIN r USING (source)
+            WHERE ('0x' || substr(md5('mix0_' || doc_id::VARCHAR),
+                                  1, 12))::BIGINT % 10000 < rate_bp
         """,
         "sp_epoch_shuffle": """
             SELECT doc_id,

@@ -21,6 +21,7 @@ from .textstats import _token_hash
 
 __all__ = [
     "epoch_shuffle",
+    "mix_token_budget",
     "split_label",
     "hash_split",
     "domain_split",
@@ -216,4 +217,68 @@ def epoch_shuffle(
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos")
+    )
+
+
+def mix_token_budget(
+    docs: DataFrame,
+    shares_bp: dict[str, int],
+    budget: int,
+    source_col: str = "source",
+    token_col: str = "n_toks",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Data mixing: sample each source so the kept mix approaches the
+    target token shares under a total token budget — the Pile/Dolma
+    recipe ("30% web, 30% code, ...") as a deterministic operator.
+
+    For source s with total tokens T_s and target share_bp[s] basis
+    points of ``budget``: the wanted token count is
+    budget*share_bp[s]/10000, so the keep fraction in basis points is
+    rate_bp(s) = min(10000, (budget*share_bp[s]) div T_s) — the 10^4
+    factors cancel; capped at taking everything. A document is kept
+    iff hash48('{seed}_{id}') mod 10000 < rate_bp — the same identity-
+    hash sampling as every split here (rerun/append-stable, no RNG).
+    All arithmetic is bigint (integral div) — value-checked
+    cross-engine (`q: sp_mix_budget`).
+
+    Sources absent from ``shares_bp`` are dropped (share 0). Expected
+    kept tokens per source ≈ budget * share_bp / 10000, bounded by
+    availability; hash sampling gives the exact expectation with
+    per-doc independence.
+
+    Scale shape: one groupBy(source) for the totals (a handful of
+    rows), broadcast back; the keep decision is scan-local. Output:
+    kept (doc_id, source, n_toks, rate_bp).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    for s, bp in shares_bp.items():
+        if not (0 <= bp <= 10000):
+            raise ValueError(f"share_bp[{s!r}] out of [0, 10000]: {bp}")
+    spark = docs.sparkSession
+    shares = spark.createDataFrame(
+        list(shares_bp.items()), f"{source_col} string, share_bp long"
+    )
+    totals = (
+        docs.groupBy(source_col)
+        .agg(F.sum(F.col(token_col)).cast("long").alias("_tot"))
+        .join(shares, source_col)
+        .select(
+            source_col,
+            F.least(
+                F.lit(10000).cast("long"),
+                F.expr(f"({budget} * share_bp) div _tot"),
+            ).alias("rate_bp"),
+        )
+    )
+    keep_hash = _token_hash(
+        F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string"))
+    ) % F.lit(10000)
+    return (
+        docs.select(id_col, source_col, token_col)
+        .join(F.broadcast(totals), source_col)
+        .filter(keep_hash < F.col("rate_bp"))
+        .select(id_col, source_col, token_col, "rate_bp")
     )

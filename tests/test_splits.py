@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.partitioning import domain_of
@@ -136,3 +138,37 @@ def test_epoch_shuffle_is_a_permutation_and_epoch_varies(spark):
     # a different epoch yields a different permutation
     e2 = epoch_shuffle(docs, n_shards=4, epoch=2).collect()
     assert sorted(map(tuple, e1)) != sorted(map(tuple, e2))
+
+
+def test_mix_token_budget_rates_and_cap(spark):
+    from ocr_pipeline_spark.operators.splits import mix_token_budget
+
+    # source a: 10 docs x 100 toks = 1000; source b: 10 x 50 = 500
+    rows = [(i, "a", 100) for i in range(10)] + [
+        (100 + i, "b", 50) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_toks long"
+    )
+    # budget 600: a wants 300/1000 -> 3000bp; b wants 600*5000/10000=300
+    # of 500 -> 6000bp
+    out = mix_token_budget(
+        docs, {"a": 5000, "b": 5000}, budget=600
+    ).collect()
+    rates = {r["source"]: r["rate_bp"] for r in out}
+    assert rates == {"a": 3000, "b": 6000}
+    # cap: budget larger than availability -> keep everything
+    full = mix_token_budget(docs, {"a": 10000}, budget=100_000).collect()
+    assert len(full) == 10
+    assert all(r["rate_bp"] == 10000 and r["source"] == "a" for r in full)
+    # unlisted sources are dropped entirely
+    assert {r["source"] for r in out} <= {"a", "b"}
+    # deterministic under repartition
+    again = mix_token_budget(
+        docs.repartition(5), {"a": 5000, "b": 5000}, budget=600
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        mix_token_budget(docs, {"a": 20000}, budget=1)
+    with pytest.raises(ValueError):
+        mix_token_budget(docs, {"a": 100}, budget=-5)
