@@ -101,12 +101,7 @@ from ocr_pipeline_spark.operators.decontam import (
 from ocr_pipeline_spark.kernels.bpe import (
     TRAIN_CORPUS as BPE_CORPUS,
 )
-from ocr_pipeline_spark.kernels.bpe import (
-    train_merges as kernel_train_merges,
-)
-from ocr_pipeline_spark.kernels.bpe import (
-    word_frequencies as kernel_word_freqs,
-)
+from ocr_pipeline_spark.kernels.bpe import default_merges as kernel_default_merges
 from ocr_pipeline_spark.operators.bpe import bpe_encode, bpe_train
 from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
 from ocr_pipeline_spark.operators.textstats import (
@@ -428,8 +423,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the distributed trainer in tests/test_bpe.py); the oracle
         # replays the SAME left-to-right folds as generated DuckDB
         # list_reduce chains — a corpus-dependent cross-engine check
+        # \x1f is the oracle's symbol separator: excluded from the text
+        # on BOTH sides (translate/replace), so a corpus containing the
+        # control char cannot silently corrupt the fold replay
         "bpe_encode": lambda s, d: bpe_encode(
-            _t(s, d, "documents").select("doc_id", "text"), _bpe_merges()
+            _t(s, d, "documents").select(
+                "doc_id", F.translate("text", "\x1f", "").alias("text")
+            ),
+            _bpe_merges(),
         ).select(
             "doc_id",
             F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
@@ -1113,13 +1114,12 @@ _SYNTH_MEDIA: dict = {}
 
 
 def _bpe_merges() -> list:
-    """Kernel-trained merge table over BPE_CORPUS (cached). The
-    distributed trainer produces the identical table (asserted in
+    """Kernel-trained merge table over BPE_CORPUS (cached; the shared
+    kernels.bpe.default_merges construction). The distributed trainer
+    produces the identical table (asserted in
     tests/test_bpe.py::test_distributed_train_equals_kernel)."""
     if not _BPE_MERGES:
-        _BPE_MERGES.append(
-            kernel_train_merges(kernel_word_freqs(list(BPE_CORPUS)), 24)
-        )
+        _BPE_MERGES.append(kernel_default_merges(24))
     return _BPE_MERGES[0]
 
 
@@ -1154,7 +1154,10 @@ def _bpe_merges_oracle() -> str:
     )
 
 
-_BPE_SEP = "\x1f"  # symbol separator: asserted absent from the corpus
+# symbol separator: asserted absent from merge symbols (below) and
+# EXCLUDED from the corpus text on both sides of the bpe_encode query
+# (Spark translate / DuckDB replace), never assumed absent
+_BPE_SEP = "\x1f"
 
 
 def _bpe_fold_sql(prev: str, left: str, right: str) -> str:
@@ -1185,14 +1188,18 @@ def _bpe_encode_sql() -> str:
     enc_word = (
         f"list_filter(string_split({expr}, '{_BPE_SEP}'), s -> s != '')"
     )
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    # concat_ws is '' (the dd_chunk_dedup recipe); the inner replace
+    # mirrors the query-side translate excluding the \x1f separator
     return f"""
         SELECT doc_id,
-               array_to_string(toks, ' ') AS bpe_text,
+               coalesce(array_to_string(toks, ' '), '') AS bpe_text,
                len(toks)::BIGINT AS n_bpe_tokens
         FROM (
           SELECT doc_id,
                  flatten(list_transform({_TOKS}, w -> {enc_word})) AS toks
-          FROM documents)
+          FROM (SELECT doc_id, replace(text, chr(31), '') AS text
+                FROM documents) documents)
     """
 
 

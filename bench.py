@@ -123,14 +123,10 @@ def _bpe_throughput(spark: SparkSession, sf_dir: str) -> dict:
     regressions are visible). Uses the production Arrow encoder
     (bpe_encode_pandas); the expression path is the cross-engine spec
     form and is validated by the driver's bpe_encode query instead."""
-    from ocr_pipeline_spark.kernels.bpe import (
-        TRAIN_CORPUS,
-        train_merges,
-        word_frequencies,
-    )
+    from ocr_pipeline_spark.kernels.bpe import default_merges
     from ocr_pipeline_spark.operators.bpe import bpe_encode_pandas
 
-    merges = train_merges(word_frequencies(list(TRAIN_CORPUS)), 24)
+    merges = default_merges()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )

@@ -88,7 +88,7 @@ def _cmd_curate(args) -> None:
 
 
 def _cmd_tokenize(args) -> None:
-    from .kernels.bpe import TRAIN_CORPUS, train_merges, word_frequencies
+    from .kernels.bpe import default_merges
     from .operators.bpe import bpe_encode_pandas, bpe_train
 
     spark = get_spark("cli-tokenize", cores=args.cores)
@@ -96,9 +96,7 @@ def _cmd_tokenize(args) -> None:
     if args.train_on_corpus:
         merges = bpe_train(docs, n_merges=args.merges)
     else:
-        merges = train_merges(
-            word_frequencies(list(TRAIN_CORPUS)), args.merges
-        )
+        merges = default_merges(args.merges)
     bpe_encode_pandas(docs, merges).write.mode("overwrite").parquet(
         args.out
     )

@@ -40,6 +40,7 @@ __all__ = [
     "TRAIN_CORPUS",
     "Merge",
     "apply_merge",
+    "default_merges",
     "encode_text",
     "encode_word",
     "norm_words",
@@ -62,7 +63,12 @@ TRAIN_CORPUS: tuple[str, ...] = (
     "streamed tokens partition the partitioning tokenizer table",
 )
 
-_WS = re.compile(r"\s+")
+# re.ASCII: Python's default \s is Unicode-aware (NBSP, em-space, ...)
+# while Java's \s — the Spark expression path — and RE2's \s — the
+# DuckDB oracle — are ASCII-only [ \t\n\x0b\f\r]. The kernel IS the
+# spec for bpe_encode_pandas, so it must tokenize exactly like the
+# engines or the "equal by construction" paths diverge on web text.
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 @dataclass(frozen=True)
@@ -74,9 +80,18 @@ class Merge:
     pair_count: int    # weighted count at selection time
 
 
+def default_merges(n_merges: int = 24) -> "list[Merge]":
+    """The fixed TRAIN_CORPUS tokenizer — the single construction point
+    shared by the driver contract, bench.py, and the CLI (so a change
+    to the default merge count or corpus cannot drift them apart)."""
+    return train_merges(word_frequencies(list(TRAIN_CORPUS)), n_merges)
+
+
 def norm_words(text: str | None) -> list[str]:
-    """norm_text + whitespace split ('' → ['']), the engine tokenizer."""
-    norm = _WS.sub(" ", (text or "").lower()).strip()
+    """norm_text + whitespace split ('' → ['']), the engine tokenizer.
+    strip(' ') not strip(): bare strip() is Unicode-aware like bare \\s
+    — the engines' trim() removes ASCII spaces only."""
+    norm = _WS.sub(" ", (text or "").lower()).strip(" ")
     return norm.split(" ") if norm else [""]
 
 

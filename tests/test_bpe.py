@@ -115,3 +115,30 @@ def test_encode_paths_agree_with_kernel(spark):
     assert pand == kern
     # round-trip property: concatenating tokens per word restores it
     assert "".join(expr[1]) == "unseenwordslikezebraquartzsurviveascharacters"
+
+
+def test_encode_paths_agree_on_unicode_whitespace(spark):
+    """Python's bare \\s/strip() are Unicode-aware while Java and RE2
+    are ASCII-only — the kernel pins re.ASCII + strip(' ') so the
+    Arrow bulk path cannot drift from the expression path on web text
+    (NBSP, em-space, control chars)."""
+    merges = train_merges(word_frequencies(list(TRAIN_CORPUS)), 8)
+    texts = [
+        (0, "foo\u00a0bar"),          # NBSP inside a "word"
+        (1, "a\u2003b"),              # em-space
+        (2, "\u00a0lead and trail\u00a0"),
+        (3, "ctrl\x1fchar"),
+        (4, "tab\tand\nnewline ok"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    expr = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    pand = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode_pandas(docs, merges).collect()
+    }
+    kern = {i: encode_text(t, merges) for i, t in texts}
+    assert expr == kern
+    assert pand == kern
