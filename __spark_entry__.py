@@ -70,6 +70,7 @@ from ocr_pipeline_spark.operators.similarity import (
     ivf_topk,
     _plane_constants,
 )
+from ocr_pipeline_spark.operators.profiling import profile_table
 from ocr_pipeline_spark.operators.pii import (
     PII_COUNT_SQL,
     PII_SAMPLES,
@@ -228,6 +229,7 @@ _VALIDATION_PRIORITY = [
     "a_rollup_stats",
     "sp_epoch_shuffle",
     "sp_mix_budget",
+    "meta_profile",
 ]
 
 
@@ -513,6 +515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_asof_last_click": _t_asof_last_click,
         "t_interval_clicks": _t_interval_clicks,
         "t_sessions": _t_sessions,
+        # -- table profiling: ANALYZE-style per-column stats, one scan -----
+        "meta_profile": lambda s, d: profile_table(
+            _t(s, d, "documents")
+        ),
         # -- metrics rollup / window frame / json projection / set op ------
         # hierarchical corpus stats: ROLLUP(lang, source) with a
         # grouping_id disambiguator (real NULLs vs rolled-up NULLs) —
@@ -2033,6 +2039,39 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL '30 minutes' AS session_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "meta_profile": """
+            SELECT 'doc_id' AS col_name, cast(count(*) as bigint) AS n_rows,
+                   cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) as bigint) AS n_nulls,
+                   cast(count(DISTINCT doc_id) as bigint) AS n_distinct,
+                   coalesce(min(doc_id)::VARCHAR, '') AS min_value,
+                   coalesce(max(doc_id)::VARCHAR, '') AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', cast(count(*) as bigint),
+                   cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) as bigint),
+                   cast(count(DISTINCT text) as bigint),
+                   coalesce(min(text), ''), coalesce(max(text), '')
+            FROM documents
+            UNION ALL
+            SELECT 'lang', cast(count(*) as bigint),
+                   cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) as bigint),
+                   cast(count(DISTINCT lang) as bigint),
+                   coalesce(min(lang), ''), coalesce(max(lang), '')
+            FROM documents
+            UNION ALL
+            SELECT 'source', cast(count(*) as bigint),
+                   cast(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) as bigint),
+                   cast(count(DISTINCT source) as bigint),
+                   coalesce(min(source), ''), coalesce(max(source), '')
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', cast(count(*) as bigint),
+                   cast(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) as bigint),
+                   cast(count(DISTINCT n_chars) as bigint),
+                   coalesce(min(n_chars)::VARCHAR, ''),
+                   coalesce(max(n_chars)::VARCHAR, '')
+            FROM documents
         """,
         "a_rollup_stats": """
             SELECT coalesce(lang, '<all>') AS lang,

@@ -110,3 +110,10 @@ def test_query_matches_oracle(spark, duck, name):
             (a, b) for a, b in zip(s_norm, o_norm) if a != b
         ][:5]
         pytest.fail(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_every_query_is_oracled():
+    """Pin full oracle coverage: a new queries() entry cannot silently
+    ship without its DuckDB value check (rows-only queries would need
+    an explicit exemption list here, with a reason)."""
+    assert set(QUERIES) == set(ORACLES)

@@ -35,3 +35,26 @@ def test_run_extraction_logs_job_line(spark, pages_df, tmp_path, capfd):
     stages = {rec["stage"]: rec for rec in lines}
     assert stages["extract"]["rows"] == pages_df.count()
     assert stages["job"]["docs_per_sec"] > 0
+
+
+def test_profile_table_stats(spark):
+    from ocr_pipeline_spark.operators.profiling import profile_table
+
+    rows = [(1, "a"), (2, "b"), (3, None), (4, "a")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "v"}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "4")
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert (got["v"]["min_value"], got["v"]["max_value"]) == ("a", "b")
+    # all-NULL column coalesces to the '' sentinel
+    allnull = spark.createDataFrame([(None,), (None,)], "x string")
+    g = profile_table(allnull).collect()[0]
+    assert (g["min_value"], g["max_value"]) == ("", "")
+    assert g["n_nulls"] == 2 and g["n_distinct"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_table(df, cols=[])
