@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, DataFrameWriter, SparkSession
 
-__all__ = ["iceberg_available", "read_table", "write_table"]
+__all__ = ["iceberg_available", "read_table", "upsert_table", "write_table"]
 
 _FORMAT = "iceberg"
 
@@ -76,3 +76,58 @@ def write_table(
         writer.format(_FORMAT).saveAsTable(target)
     else:
         writer.parquet(target)
+
+
+def upsert_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    target: str,
+    key_cols: list[str],
+) -> None:
+    """MERGE-style upsert: rows in ``updates`` replace same-key rows in
+    ``target``; new keys append. Last-writer-wins within ``updates`` is
+    the CALLER's job (pass a deduped frame — enforced here with a loud
+    error rather than a silent arbitrary pick).
+
+    Iceberg path: ``MERGE INTO`` — the engine rewrites only the files
+    containing matched keys (merge-on-read/copy-on-write per table
+    config), which is the 100 TB shape. Parquet emulation: anti-join
+    the existing table against the update keys, union, rewrite — a
+    full-table rewrite, correct but O(table); the docstring-level
+    contract is that production deployments run the Iceberg path.
+    """
+    if not key_cols:
+        raise ValueError("upsert_table needs at least one key column")
+    n_dupes = updates.groupBy(*key_cols).count().filter("count > 1")
+    if n_dupes.limit(1).count() > 0:
+        raise ValueError(
+            f"updates contain duplicate keys on {key_cols}; "
+            "dedup before upserting (last-writer-wins is not guessed)"
+        )
+    if _is_catalog_ident(spark, target):
+        updates.createOrReplaceTempView("_upsert_updates")
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        spark.sql(
+            f"MERGE INTO {target} t USING _upsert_updates s ON {cond} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return
+    try:
+        existing = spark.read.parquet(target)
+        existing_exists = True
+    except Exception:
+        existing_exists = False
+    if existing_exists:
+        kept = existing.join(
+            updates.select(*key_cols), key_cols, "left_anti"
+        )
+        merged = kept.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    # parquet has no atomic swap: stage then point the final write at
+    # the target (localCheckpoint materializes BEFORE the overwrite so
+    # the self-referencing read-modify-write cannot truncate its input)
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        target
+    )

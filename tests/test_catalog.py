@@ -30,3 +30,45 @@ def test_partitioned_write(spark, tmp_path):
     back = read_table(spark, path)
     assert back.count() == 40
     assert back.filter("bucket = 2").count() == 10
+
+
+def test_upsert_parquet_replaces_and_appends(spark, tmp_path):
+    from ocr_pipeline_spark.sources.catalog import upsert_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    base.write.parquet(path)
+    ups = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"
+    )
+    upsert_table(spark, ups, path, ["id"])
+    got = {
+        r["id"]: r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # idempotent: re-applying the same updates changes nothing
+    upsert_table(spark, ups, path, ["id"])
+    again = {
+        r["id"]: r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+
+def test_upsert_creates_missing_target_and_rejects_dupes(spark, tmp_path):
+    import pytest
+
+    from ocr_pipeline_spark.sources.catalog import upsert_table
+
+    path = str(tmp_path / "fresh")
+    ups = spark.createDataFrame([(1, "a")], "id long, v string")
+    upsert_table(spark, ups, path, ["id"])
+    assert spark.read.parquet(path).count() == 1
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_table(spark, dup, path, ["id"])
+    with pytest.raises(ValueError, match="key column"):
+        upsert_table(spark, ups, path, [])
