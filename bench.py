@@ -169,6 +169,8 @@ def _ann_recall(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
     for name, df in (
         ("ann_topk", ann_topk(emb, query_ids=qids, k=k)),
         ("ivf_topk", ivf_topk(emb, query_ids=qids, k=k)),
+        # the recall/cost dial, measured: double the probed cells
+        ("ivf_topk_probe8", ivf_topk(emb, query_ids=qids, k=k, n_probe=8)),
     ):
         got = _sets(df)
         hits = sum(len(truth[q] & got[q]) for q in qids)
