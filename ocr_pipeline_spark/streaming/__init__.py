@@ -5,6 +5,7 @@ streaming primitives."""
 from .stream_extract import (
     read_pages_stream,
     start_extract_stream,
+    stream_curate,
     stream_dedup,
     stream_window_counts,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "ThroughputListener",
     "read_pages_stream",
     "start_extract_stream",
+    "stream_curate",
     "stream_dedup",
     "stream_window_counts",
     "bucket_batch",

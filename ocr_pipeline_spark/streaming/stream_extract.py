@@ -32,6 +32,7 @@ from ..operators.extraction import extract_pages
 from ..sources.synth_pages import PAGES_SCHEMA
 
 __all__ = [
+    "stream_curate",
     "read_pages_stream",
     "start_extract_stream",
     "stream_window_counts",
@@ -135,4 +136,34 @@ def stream_window_counts(
             key_col,
             "n_docs",
         )
+    )
+
+
+def stream_curate(
+    docs: DataFrame,
+    ts_col: str = "warc_ts",
+    watermark: str = "24 hours",
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Streaming curation: the batch curate() gates composed for a
+    continuous ingest — narrow quality/language annotation (zero state),
+    then watermark-bounded exact dedup on the content fingerprint
+    (state = distinct fingerprints per window, evicted past the
+    watermark; a recrawl of identical content inside the window is a
+    duplicate, across windows a new version).
+
+    Works identically on a batch DataFrame (the stream_dedup batch path
+    keeps the deterministic earliest row per fingerprint), so one
+    definition serves the backfill job and the live stream — the same
+    batch/streaming duality as stream_window_counts.
+    """
+    from ..operators.textstats import annotate_quality, fingerprint
+
+    kept = annotate_quality(docs).filter(F.col("is_quality"))
+    if langs is not None:
+        kept = kept.filter(F.col("lang_guess").isin(list(langs)))
+    keyed = kept.withColumn("fingerprint", fingerprint(F.col("text")))
+    return stream_dedup(
+        keyed, key_cols=("fingerprint",), ts_col=ts_col,
+        watermark=watermark,
     )

@@ -217,3 +217,51 @@ def test_window_counts_batch_semantics(spark, pages_df):
     assert total == pages_df.count()
     one = wc.first()
     assert one["window_end"] > one["window_start"]
+
+
+def test_stream_curate_gates_and_dedups(spark, tmp_path):
+    """Streaming curation: quality gate + watermark dedup in one query;
+    the same definition in batch mode keeps the earliest row per
+    fingerprint after identical gating."""
+    import datetime
+
+    from ocr_pipeline_spark.streaming import stream_curate
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox keeps the garden and the house in the sun "
+        "while the dog sleeps by the door"
+    )
+    junk = "zxq wvk pfj"
+    rows = [
+        (1, ts, good, "en"),
+        (2, ts + datetime.timedelta(minutes=1), good, "en"),  # dup
+        (3, ts, junk, "en"),                                  # gated
+        (4, ts, good + " extra words here", "en"),
+    ]
+    schema = "doc_id long, warc_ts timestamp, text string, lang string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_curate(stream)
+        .writeStream.format("memory")
+        .queryName("curate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    got = spark.table("curate_out")
+    assert got.select("fingerprint").distinct().count() == got.count()
+    assert got.count() == 2  # two distinct quality texts
+    assert set(
+        r["doc_id"] for r in got.collect()
+    ) <= {1, 2, 4}
+
+    # batch mode: deterministic earliest-ts winner per fingerprint
+    batch = stream_curate(spark.createDataFrame(rows, schema))
+    ids = sorted(r["doc_id"] for r in batch.collect())
+    assert ids == [1, 4]
