@@ -77,7 +77,11 @@ from ocr_pipeline_spark.operators.pii import (
     PII_STEPS_SQL,
     with_scrubbed_text,
 )
-from ocr_pipeline_spark.operators.sketch import kmv_distinct
+from ocr_pipeline_spark.operators.sketch import (
+    cms_estimate,
+    cms_state,
+    kmv_distinct,
+)
 from ocr_pipeline_spark.operators.splits import (
     epoch_shuffle,
     hash_split,
@@ -230,6 +234,7 @@ _VALIDATION_PRIORITY = [
     "sp_epoch_shuffle",
     "sp_mix_budget",
     "meta_profile",
+    "sk_heavy_hitters",
 ]
 
 
@@ -275,6 +280,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang",
             "tok",
             k=16,
+        ),
+        # count-min sketch point lookups over the token stream — the
+        # heavy-hitter companion of the KMV sketch (integer counts,
+        # md5-salted rows, cellwise-mergeable; never undercounts)
+        "sk_heavy_hitters": lambda s, d: cms_estimate(
+            cms_state(
+                _t(s, d, "documents")
+                .select(
+                    F.explode_outer(tokens(F.col("text"))).alias("tok")
+                )
+                .filter(F.col("tok").isNotNull()),
+                "tok",
+            ),
+            ["the", "data", "query", "zzz-not-in-corpus"],
         ),
         # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
         "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
@@ -1209,6 +1228,47 @@ def _bpe_encode_sql() -> str:
     """
 
 
+def _cms_oracle(
+    probes: tuple[str, ...] = ("the", "data", "query", "zzz-not-in-corpus"),
+    depth: int = 4,
+    width: int = 256,
+) -> str:
+    """sk_heavy_hitters oracle: replay the count-min layout — same
+    md5 row salts as operators/sketch.cms_state, probe cells inlined
+    as Python-derived constants (the md5-constants recipe)."""
+    import hashlib
+
+    def col_of(v: str, r: int) -> int:
+        return (
+            int(hashlib.md5(f"cms{r}_{v}".encode()).hexdigest()[:12], 16)
+            % width
+        )
+
+    rows_sql = " UNION ALL ".join(
+        f"SELECT {r} AS row_idx, ('0x' || substr(md5('cms{r}_' || v), "
+        f"1, 12))::BIGINT % {width} AS col_idx FROM toks"
+        for r in range(depth)
+    )
+    probe_vals = ", ".join(
+        f"('{_sql_quote(v)}', {r}, {col_of(v, r)})"
+        for v in probes
+        for r in range(depth)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT unnest({_TOKS}) AS v FROM documents),
+        cells AS (
+          SELECT row_idx, col_idx, cast(count(*) as bigint) AS cnt
+          FROM ({rows_sql}) GROUP BY row_idx, col_idx),
+        probes AS (
+          SELECT * FROM (VALUES {probe_vals})
+          AS t(value, row_idx, col_idx))
+        SELECT value, min(coalesce(cnt, 0::BIGINT)) AS est
+        FROM probes LEFT JOIN cells USING (row_idx, col_idx)
+        GROUP BY value
+    """
+
+
 def _dbl(v: float) -> str:
     # shortest round-trip repr, parsed back by DuckDB's string→double
     # cast — bit-exact for finite doubles (kernel densities always are)
@@ -1691,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
             + "]"
         ),
+        "sk_heavy_hitters": _cms_oracle(),
         "sk_distinct_tokens": f"""
             WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
             h AS (SELECT DISTINCT lang AS grp,

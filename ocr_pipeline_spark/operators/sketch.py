@@ -38,7 +38,14 @@ from .textstats import _token_hash
 # Hash range of _token_hash (first 12 md5 hex chars → [0, 2^48)).
 HASH_RANGE = 1 << 48
 
-__all__ = ["kmv_distinct", "kmv_state", "kmv_from_state", "HASH_RANGE"]
+__all__ = [
+    "cms_estimate",
+    "cms_state",
+    "kmv_distinct",
+    "kmv_state",
+    "kmv_from_state",
+    "HASH_RANGE",
+]
 
 
 def kmv_state(df: DataFrame, group_col: str, value_col: str, k: int = 128) -> DataFrame:
@@ -130,3 +137,92 @@ def kmv_distinct(
     parity contracts)."""
     out = kmv_from_state(kmv_state(df, group_col, value_col, k), k)
     return out.withColumnRenamed("grp", group_col)
+
+
+def cms_state(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch STATE over a value stream: (row_idx, col_idx,
+    cnt) — depth independent hash rows, each bucketing every value into
+    ``width`` columns (Cormode & Muthukrishnan 2005). md5-derived row
+    salts so any engine regenerates the same layout; bigint counts; the
+    only shuffle is a groupBy on (row_idx, col_idx) — at most
+    depth×width cells, map-side partial aggregation collapses the
+    stream before it moves.
+
+    States merge by cellwise addition (``groupBy(row, col).sum`` over a
+    union) — increments / partitions / days combine without rescans.
+    NULL values are excluded (not a value; parity rule)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2: {depth}, {width}")
+    vals = df.select(F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    rows = vals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_idx"),
+                        (
+                            _token_hash(
+                                F.concat(F.lit(f"cms{r}_"), F.col("v"))
+                            )
+                            % F.lit(width)
+                        ).alias("col_idx"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        rows.groupBy("c.row_idx", "c.col_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    state: DataFrame,
+    queries: list[str],
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates from a CMS state for the queried values:
+    est(v) = min over rows of cnt[row][hash_row(v)] — an upper bound on
+    the true count, within eN/width with probability 1 - (1/2)^depth.
+    Output: (value, est). The query list is a small driver-side literal
+    (the sketch's point-lookup API); missing cells count 0."""
+    spark = state.sparkSession
+    cells = [
+        (
+            v,
+            r,
+            int(
+                int(
+                    __import__("hashlib")
+                    .md5(f"cms{r}_{v}".encode())
+                    .hexdigest()[:12],
+                    16,
+                )
+                % width
+            ),
+        )
+        for v in queries
+        for r in range(depth)
+    ]
+    probes = spark.createDataFrame(
+        cells, "value string, row_idx int, col_idx int"
+    )
+    return (
+        probes.join(state, ["row_idx", "col_idx"], "left")
+        .groupBy("value")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "est"
+            )
+        )
+    )

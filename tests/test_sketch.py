@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ocr_pipeline_spark.operators.textstats import tokens
 from ocr_pipeline_spark.operators.sketch import (
     kmv_distinct,
     kmv_from_state,
@@ -76,4 +77,53 @@ def test_partition_invariance(spark):
     assert (one["kth_hash"], one["est_distinct"]) == (
         two["kth_hash"],
         two["est_distinct"],
+    )
+
+
+def test_cms_estimate_upper_bounds_exact_counts(spark):
+    from ocr_pipeline_spark.operators.sketch import cms_estimate, cms_state
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    state = cms_state(toks, "tok")
+    probes = ["the", "data", "query", "zzz-not-in-corpus"]
+    est = {
+        r["value"]: r["est"]
+        for r in cms_estimate(state, probes).collect()
+    }
+    assert set(est) == set(probes)
+    for v in probes:
+        assert est[v] >= exact.get(v, 0)  # CMS never undercounts
+    # depth×width bound: total cells capped, every row sums to N
+    cells = state.collect()
+    n = toks.count()
+    import collections
+
+    per_row = collections.Counter()
+    for c in cells:
+        per_row[c["row_idx"]] += c["cnt"]
+    assert all(v == n for v in per_row.values())
+
+
+def test_cms_states_merge_by_cellwise_sum(spark):
+    from ocr_pipeline_spark.operators.sketch import cms_state
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "v string")
+    b = spark.createDataFrame([("x",), ("z",)], "v string")
+    both = a.union(b)
+    merged = (
+        cms_state(a, "v")
+        .union(cms_state(b, "v"))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_state(both, "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
     )
