@@ -235,6 +235,7 @@ _VALIDATION_PRIORITY = [
     "sp_mix_budget",
     "meta_profile",
     "sk_heavy_hitters",
+    "sim_dup_clusters",
 ]
 
 
@@ -366,6 +367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup": lambda s, d: cosine_near_dup(
             _t(s, d, "embeddings"), threshold=0.3
         ),
+        # connected components over the embedding near-dup graph — the
+        # same pointer-jumping operator, completing the clustering
+        # matrix (minhash / simhash / embedding edges)
+        "sim_dup_clusters": lambda s, d: dup_clusters(
+            cosine_near_dup(_t(s, d, "embeddings"), threshold=0.3)
+            .select(
+                F.col("vec_a").alias("doc_a"),
+                F.col("vec_b").alias("doc_b"),
+            )
+        ).select(F.col("doc_id").alias("vec_id"), "cluster_id"),
         # ann/ivf: LSH and inverted-file scale paths — oracles replay the
         # same md5-seeded plane/centroid constants in SQL; recall is
         # additionally quantified vs brute force in tests/
@@ -1915,6 +1926,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(fps) AS fp FROM m
         """,
         "sim_near_dup": _near_dup_sql(threshold=0.3),
+        "sim_dup_clusters": f"""
+            WITH RECURSIVE base AS (
+              SELECT vec_a, vec_b FROM ({_near_dup_sql(threshold=0.3)}) q),
+            edges AS (
+              SELECT vec_a AS src, vec_b AS dst FROM base
+              UNION SELECT vec_b, vec_a FROM base),
+            reach(a, b) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+            SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
         "sim_ann_topk": _ann_topk_sql([0, 1, 2, 3, 4]),
         "sim_ivf_topk": _ivf_topk_sql([0, 1, 2, 3, 4]),
         "cur_exact_keep": f"""
