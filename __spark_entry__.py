@@ -52,6 +52,7 @@ from ocr_pipeline_spark.operators.extraction import (
     regroup_blocks,
     segment_pages,
 )
+from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     _parse as _media_parse,
@@ -236,6 +237,7 @@ _VALIDATION_PRIORITY = [
     "meta_profile",
     "sk_heavy_hitters",
     "sim_dup_clusters",
+    "x_diff_runs",
 ]
 
 
@@ -620,6 +622,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("tsv_line"),
         )
         .orderBy("url", "block_idx"),
+        # run-to-run extraction diff (the byte-identity promotion gate):
+        # seed-42 vs seed-43 corpora overlap on 15 urls (1 same payload,
+        # 14 diff) with 135 each side only — all four statuses exercised
+        "x_diff_runs": lambda s, d: diff_extractions(
+            extract_pages(_synth_pages_df(s)),
+            extract_pages(_synth_pages_df(s, seed=43)),
+        ).orderBy("url"),
     })
 
 
@@ -1237,6 +1246,30 @@ def _bpe_encode_sql() -> str:
           FROM (SELECT doc_id, replace(text, chr(31), '') AS text
                 FROM documents) documents)
     """
+
+
+def _x_diff_oracle() -> str:
+    """x_diff_runs oracle: both kernel passes computed in Python, the
+    diff classified here, inlined as VALUES (kernel-is-spec)."""
+    old = {u: r.text_sha256 for u, _, r in _extract_expected(150, 42)}
+    new = {u: r.text_sha256 for u, _, r in _extract_expected(150, 43)}
+    rows = []
+    for u in sorted(set(old) | set(new)):
+        o, n = old.get(u), new.get(u)
+        status = (
+            "only_new" if o is None
+            else "only_old" if n is None
+            else "same" if o == n
+            else "diff"
+        )
+        rows.append(
+            f"('{_sql_quote(u)}', '{o or ''}', '{n or ''}', '{status}')"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, old_sha, new_sha, status)"
+    )
 
 
 def _cms_oracle(
@@ -2242,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "x_extract_blocks": _x_blocks_oracle(),
         "x_extract_regroup": _x_regroup_oracle(),
         "x_tsv_lines": _x_tsv_oracle(),
+        "x_diff_runs": _x_diff_oracle(),
         "x_refine_sentences": _x_refine_oracle(),
         "x_debug_overlay": _x_overlay_oracle(),
         # url canonicalization: deterministic input urls inlined; DuckDB

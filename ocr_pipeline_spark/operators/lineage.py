@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MANIFEST_SCHEMA",
+    "diff_extractions",
     "with_bucket",
     "committed_buckets",
     "pending",
@@ -134,3 +135,40 @@ def write_extracted_with_manifest(
         )
     )
     manifest.write.mode("append").parquet(manifest_path)
+
+
+def diff_extractions(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "url",
+    hash_col: str = "text_sha256",
+) -> DataFrame:
+    """Run-to-run extraction diff — the operational check behind the
+    byte-identity contract: before promoting a new EXTRACTOR_VERSION,
+    compare its output against the previous run per document and
+    quantify what changed (reference analogue: re-running /ocr and
+    eyeballing result.txt; here it is one join).
+
+    Output per key: status ∈ {'same','diff','only_old','only_new'} plus
+    both hashes ('' sentinel, never NULL-mixed). Scale shape: a single
+    full-outer equi-join on the key — rows are (key, 64-hex) shorts,
+    extracted text itself never moves. Aggregate downstream
+    (groupBy('status').count()) for the promotion gate.
+    """
+    o = old.select(
+        F.col(key), F.col(hash_col).alias("old_sha")
+    )
+    n = new.select(
+        F.col(key), F.col(hash_col).alias("new_sha")
+    )
+    j = o.join(n, key, "full_outer")
+    return j.select(
+        key,
+        F.coalesce("old_sha", F.lit("")).alias("old_sha"),
+        F.coalesce("new_sha", F.lit("")).alias("new_sha"),
+        F.when(F.col("old_sha").isNull(), "only_new")
+        .when(F.col("new_sha").isNull(), "only_old")
+        .when(F.col("old_sha") == F.col("new_sha"), "same")
+        .otherwise("diff")
+        .alias("status"),
+    )

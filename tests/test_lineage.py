@@ -88,3 +88,26 @@ def test_compaction_one_file_per_bucket(spark, pages_df, tmp_path):
     for b in range(4):
         files = glob.glob(f"{out}/bucket={b}/*.parquet")
         assert len(files) == 1, (b, files)
+
+
+def test_diff_extractions_statuses(spark):
+    from ocr_pipeline_spark.operators.lineage import diff_extractions
+
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")],
+        "url string, text_sha256 string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "CHANGED"), ("u4", "h4")],
+        "url string, text_sha256 string",
+    )
+    got = {
+        r["url"]: (r["status"], r["old_sha"], r["new_sha"])
+        for r in diff_extractions(old, new).collect()
+    }
+    assert got == {
+        "u1": ("same", "h1", "h1"),
+        "u2": ("diff", "h2", "CHANGED"),
+        "u3": ("only_old", "h3", ""),
+        "u4": ("only_new", "", "h4"),
+    }
