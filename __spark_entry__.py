@@ -52,6 +52,7 @@ from ocr_pipeline_spark.operators.extraction import (
     regroup_blocks,
     segment_pages,
 )
+from ocr_pipeline_spark.operators.clustering import kmeans_assign
 from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
@@ -238,6 +239,7 @@ _VALIDATION_PRIORITY = [
     "sk_heavy_hitters",
     "sim_dup_clusters",
     "x_diff_runs",
+    "ml_kmeans_cells",
 ]
 
 
@@ -368,6 +370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.01 this way; the operator default stays 0.7)
         "sim_near_dup": lambda s, d: cosine_near_dup(
             _t(s, d, "embeddings"), threshold=0.3
+        ),
+        # distributed Lloyd's k-means in exact fixed-point arithmetic —
+        # the honest IVF-centroid trainer; 3 update rounds, assignment
+        # under the final centroids (see operators/clustering.py)
+        "ml_kmeans_cells": lambda s, d: kmeans_assign(
+            _t(s, d, "embeddings"), k=8, iters=3
         ),
         # connected components over the embedding near-dup graph — the
         # same pointer-jumping operator, completing the clustering
@@ -1248,6 +1256,47 @@ def _bpe_encode_sql() -> str:
     """
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """ml_kmeans_cells oracle: replay every Lloyd iteration in SQL —
+    quantize (floor(x·1e6+0.5), IEEE-identical), integer distance folds
+    (commutative-exact, summation order free), row_number argmin with
+    the cell tie-break, truncating `//` centroid means (Spark's `div`;
+    the operator's driver-side means use the same truncation)."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])), (a,b) -> a+b)"
+        )
+
+    def assign_block(name: str, prev: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, v, cell FROM ("
+            f"SELECT q.vec_id, q.v, c.cell, row_number() OVER ("
+            f"PARTITION BY q.vec_id "
+            f"ORDER BY {dist('q.v', 'c.cv')}, c.cell) AS rn "
+            f"FROM q, {prev} c) WHERE rn = 1)"
+        )
+
+    sql = (
+        "WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> floor(x*1000000 + 0.5)::BIGINT) AS v FROM embeddings),\n"
+        f"c0 AS (SELECT vec_id::INT AS cell, v AS cv FROM q "
+        f"WHERE vec_id < {k})"
+    )
+    for t in range(1, iters + 1):
+        sql += ",\n" + assign_block(f"a{t}", f"c{t - 1}")
+        sql += (
+            f",\nc{t} AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ("
+            f"SELECT cell, u.i AS dim, sum(u.x) // count(*) AS m FROM ("
+            f"SELECT cell, unnest(list_transform(range(0, {dim}), "
+            f"i -> struct_pack(i := i, x := v[i+1]))) AS u FROM a{t}) "
+            f"GROUP BY cell, u.i) GROUP BY cell)"
+        )
+    sql += ",\n" + assign_block("afinal", f"c{iters}")
+    return sql + "\nSELECT vec_id, cell FROM afinal"
+
+
 def _x_diff_oracle() -> str:
     """x_diff_runs oracle: both kernel passes computed in Python, the
     diff classified here, inlined as VALUES (kernel-is-spec)."""
@@ -1959,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(fps) AS fp FROM m
         """,
         "sim_near_dup": _near_dup_sql(threshold=0.3),
+        "ml_kmeans_cells": _kmeans_oracle(),
         "sim_dup_clusters": f"""
             WITH RECURSIVE base AS (
               SELECT vec_a, vec_b FROM ({_near_dup_sql(threshold=0.3)}) q),
