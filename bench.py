@@ -165,12 +165,28 @@ def _ann_recall(spark: SparkSession, sf_dir: str, k: int = 10) -> dict:
 
     truth = _sets(brute_force_topk(emb, query_ids=qids, k=k))
     denom = sum(len(v) for v in truth.values())
+    # trained IVF codebook: fixed-point k-means rescaled + L2-normalized
+    from ocr_pipeline_spark.operators.clustering import (
+        KM_SCALE,
+        kmeans_centroids,
+    )
+
+    trained = []
+    for _, cv in sorted(kmeans_centroids(emb, k=16, iters=3).items()):
+        row = [x / KM_SCALE for x in cv]
+        nrm = sum(x * x for x in row) ** 0.5 or 1.0
+        trained.append([x / nrm for x in row])
     out = {}
     for name, df in (
         ("ann_topk", ann_topk(emb, query_ids=qids, k=k)),
         ("ivf_topk", ivf_topk(emb, query_ids=qids, k=k)),
         # the recall/cost dial, measured: double the probed cells
         ("ivf_topk_probe8", ivf_topk(emb, query_ids=qids, k=k, n_probe=8)),
+        # and the trained-codebook gain at the same probe cost
+        (
+            "ivf_topk_trained",
+            ivf_topk(emb, query_ids=qids, k=k, centroids=trained),
+        ),
     ):
         got = _sets(df)
         hits = sum(len(truth[q] & got[q]) for q in qids)

@@ -241,6 +241,7 @@ def ivf_topk(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus rows are assigned to
     their nearest centroid cell (one scan, no shuffle of vectors); each
@@ -250,8 +251,19 @@ def ivf_topk(
     The scale shape at 10^12 rows: the cell id is a small int — write the
     corpus partitioned by cell and a query touches n_probe/n_cells of the
     data (partition pruning does the skipping). Recall is tunable via
-    n_probe; the pytest suite measures it against brute force."""
-    cents = _centroids(n_cells, dim, seed)
+    n_probe; the pytest suite measures it against brute force.
+
+    ``centroids`` overrides the default md5-derived codebook with a
+    TRAINED one (clustering.kmeans_centroids, rescaled to floats) —
+    the driver oracle pins the md5 default; bench.py measures the
+    trained-codebook recall gain."""
+    cents = (
+        [list(map(float, c)) for c in centroids]
+        if centroids is not None
+        else _centroids(n_cells, dim, seed)
+    )
+    if centroids is not None and len(cents) != n_cells:
+        n_cells = len(cents)
     scores = _cell_scores(F.col(vec_col), cents)
     # nearest cell = max by (score, cell) — array_max on struct orders by
     # the first field with the int as deterministic tie-break
