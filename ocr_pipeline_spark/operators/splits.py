@@ -22,6 +22,7 @@ from .textstats import _token_hash
 __all__ = [
     "epoch_shuffle",
     "mix_token_budget",
+    "write_epoch_shards",
     "split_label",
     "hash_split",
     "domain_split",
@@ -281,4 +282,52 @@ def mix_token_budget(
         .join(F.broadcast(totals), source_col)
         .filter(keep_hash < F.col("rate_bp"))
         .select(id_col, source_col, token_col, "rate_bp")
+    )
+
+
+def write_epoch_shards(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 4,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize one training epoch: every document written into its
+    ``epoch_shuffle`` shard, rows ordered by the permutation position
+    WITHIN each shard file — readers stream shard files start-to-finish
+    and see the epoch's pseudo-random document order with zero
+    read-side sorting.
+
+    Write shape (the CLAUDE.md rule): repartition ON the partition
+    column first, so ``partitionBy`` emits exactly one file per shard
+    per run (no small-file explosion), and ``sortWithinPartitions``
+    orders rows inside each file. Document payloads cross exactly one
+    exchange — the shard repartition — which any layout write must pay;
+    the sort is partition-local (no global sort, no range exchange).
+    """
+    keyed = docs.select(
+        "*",
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f":epoch{epoch}")
+            )
+        ).alias("_k"),
+    ).select(
+        "*",
+        (
+            F.conv(F.substring("_k", 1, 12), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).alias("shard"),
+    )
+    (
+        keyed.repartition(n_shards, "shard")
+        # the partition column LEADS the sort: FileFormatWriter inserts
+        # its own (unstable) sort on partition columns unless the data
+        # already arrives sorted by them — a bare sort on (_k, id)
+        # would be silently destroyed by that writer sort
+        .sortWithinPartitions("shard", "_k", id_col)
+        .drop("_k")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
     )

@@ -172,3 +172,39 @@ def test_mix_token_budget_rates_and_cap(spark):
         mix_token_budget(docs, {"a": 20000}, budget=1)
     with pytest.raises(ValueError):
         mix_token_budget(docs, {"a": 100}, budget=-5)
+
+
+def test_write_epoch_shards_layout_and_order(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from ocr_pipeline_spark.operators.splits import (
+        epoch_shuffle,
+        write_epoch_shards,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = str(tmp_path / "epoch1")
+    write_epoch_shards(docs, out, n_shards=4, epoch=1)
+    # one parquet file per shard per run (repartition-before-partitionBy)
+    for d in glob.glob(f"{out}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+    # within-file order is the epoch permutation (md5 key order)
+    perm = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in epoch_shuffle(docs, n_shards=4, epoch=1).collect()
+    }
+    import pandas as pd
+
+    for d in sorted(glob.glob(f"{out}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        pdf = pd.read_parquet(glob.glob(f"{d}/*.parquet")[0])
+        expect = [
+            perm[(shard, p)] for p in range(1, len(pdf) + 1)
+        ]
+        assert list(pdf["doc_id"]) == expect
+    # every doc exactly once across shards
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("doc_id").distinct().count() == 200
