@@ -109,6 +109,7 @@ from ocr_pipeline_spark.kernels.bpe import (
     TRAIN_CORPUS as BPE_CORPUS,
 )
 from ocr_pipeline_spark.kernels.bpe import default_merges as kernel_default_merges
+from ocr_pipeline_spark.kernels.bpe import vocab_of as kernel_vocab_of
 from ocr_pipeline_spark.operators.bpe import bpe_encode, bpe_train
 from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
 from ocr_pipeline_spark.operators.textstats import (
@@ -467,7 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # list_reduce chains — a corpus-dependent cross-engine check
         # \x1f is the oracle's symbol separator: excluded from the text
         # on BOTH sides (translate/replace), so a corpus containing the
-        # control char cannot silently corrupt the fold replay
+        # control char cannot silently corrupt the fold replay; bpe_ids
+        # additionally validates the vocab_of id mapping (<unk>=0,
+        # alphabet, merges in rank order) in the same pass
         "bpe_encode": lambda s, d: bpe_encode(
             _t(s, d, "documents").select(
                 "doc_id", F.translate("text", "\x1f", "").alias("text")
@@ -477,6 +480,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
             F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "bpe_tokens",
+                    lambda t: F.greatest(
+                        F.array_position(
+                            F.array(
+                                *[
+                                    F.lit(v)
+                                    for v in kernel_vocab_of(_bpe_merges())
+                                ]
+                            ),
+                            t,
+                        )
+                        - 1,
+                        F.lit(0).cast("long"),
+                    ).cast("string"),
+                ),
+            ).alias("bpe_ids"),
         ),
         # -- curation composite: quality + lang + exact dedup ---------------
         "cur_exact_keep": lambda s, d: curate(
@@ -1243,11 +1265,22 @@ def _bpe_encode_sql() -> str:
     )
     # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
     # concat_ws is '' (the dd_chunk_dedup recipe); the inner replace
-    # mirrors the query-side translate excluding the \x1f separator
+    # mirrors the query-side translate excluding the \x1f separator;
+    # id mapping: a list_position miss is 0-or-NULL depending on the
+    # DuckDB version -> coalesce + greatest lands unknown symbols on
+    # id 0 (<unk>) either way, matching Spark's
+    # greatest(array_position-1, 0)
+    vocab = "[" + ", ".join(
+        f"'{_sql_quote(v)}'" for v in kernel_vocab_of(_bpe_merges())
+    ) + "]"
     return f"""
         SELECT doc_id,
                coalesce(array_to_string(toks, ' '), '') AS bpe_text,
-               len(toks)::BIGINT AS n_bpe_tokens
+               len(toks)::BIGINT AS n_bpe_tokens,
+               coalesce(array_to_string(list_transform(toks,
+                 s -> greatest(coalesce(list_position({vocab}, s), 1) - 1,
+                               0)::BIGINT),
+                 ' '), '') AS bpe_ids
         FROM (
           SELECT doc_id,
                  flatten(list_transform({_TOKS}, w -> {enc_word})) AS toks

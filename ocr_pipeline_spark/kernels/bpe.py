@@ -41,10 +41,12 @@ __all__ = [
     "Merge",
     "apply_merge",
     "default_merges",
+    "encode_ids",
     "encode_text",
     "encode_word",
     "norm_words",
     "train_merges",
+    "vocab_of",
     "word_frequencies",
 ]
 
@@ -154,3 +156,20 @@ def encode_text(text: str | None, merges: list[Merge]) -> list[str]:
     for w in norm_words(text):
         out.extend(encode_word(w, merges))
     return out
+
+
+def vocab_of(merges: "list[Merge]") -> list[str]:
+    """The tokenizer vocabulary: '<unk>' at id 0, then the sorted
+    single-character alphabet of TRAIN_CORPUS, then merged symbols in
+    rank order — deterministic from the merge table alone, so every
+    engine regenerates the identical id mapping."""
+    alphabet = sorted({c for t in TRAIN_CORPUS for w in norm_words(t) for c in w})
+    return ["<unk>"] + alphabet + [m.merged for m in merges]
+
+
+def encode_ids(text: str | None, merges: "list[Merge]") -> list[int]:
+    """Token-id encoding: the subword stream mapped through vocab_of
+    (unknown symbols — characters outside the training alphabet — map
+    to 0)."""
+    vocab = {s: i for i, s in enumerate(vocab_of(merges))}
+    return [vocab.get(s, 0) for s in encode_text(text, merges)]

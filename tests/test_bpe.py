@@ -142,3 +142,27 @@ def test_encode_paths_agree_on_unicode_whitespace(spark):
     kern = {i: encode_text(t, merges) for i, t in texts}
     assert expr == kern
     assert pand == kern
+
+
+def test_vocab_and_id_encoding():
+    from ocr_pipeline_spark.kernels.bpe import (
+        default_merges,
+        encode_ids,
+        encode_text,
+        vocab_of,
+    )
+
+    merges = default_merges(24)
+    vocab = vocab_of(merges)
+    assert vocab[0] == "<unk>"
+    assert len(vocab) == len(set(vocab))  # ids are unambiguous
+    # merged symbols occupy the tail in rank order
+    assert vocab[-len(merges):] == [m.merged for m in merges]
+    # round-trip: ids map back to the token stream (no <unk> needed
+    # for in-alphabet text)
+    text = "the tokenizer trains streams"
+    toks = encode_text(text, merges)
+    ids = encode_ids(text, merges)
+    assert [vocab[i] for i in ids] == toks
+    # out-of-alphabet chars land on <unk>
+    assert 0 in encode_ids("99 zebras!", merges)
