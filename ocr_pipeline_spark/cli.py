@@ -116,6 +116,19 @@ def _cmd_score(args) -> None:
     print(f"wrote quality scores to {args.out}")
 
 
+def _cmd_profile(args) -> None:
+    from .operators.profiling import profile_table
+
+    spark = get_spark("cli-profile", cores=args.cores)
+    df = spark.read.parquet(args.input)
+    for r in profile_table(df).collect():
+        print(
+            f"{r['col_name']}\trows={r['n_rows']}\tnulls={r['n_nulls']}\t"
+            f"distinct={r['n_distinct']}\tmin={r['min_value'][:40]}\t"
+            f"max={r['max_value'][:40]}"
+        )
+
+
 def _cmd_warc(args) -> None:
     from .sources.warc import read_warc
 
@@ -192,6 +205,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep only the best FRAC of docs by score",
     )
     p.set_defaults(fn=_cmd_score)
+
+    p = sub.add_parser(
+        "profile", help="ANALYZE-style per-column stats of a table"
+    )
+    p.add_argument("--input", required=True)
+    p.set_defaults(fn=_cmd_profile)
 
     p = sub.add_parser("warc", help="ingest WARC archives into a pages table")
     p.add_argument("--input", required=True)

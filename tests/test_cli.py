@@ -19,6 +19,7 @@ def test_parser_subcommands():
         ["curate", "--input", "a", "--out", "b"],
         ["tokenize", "--input", "a", "--out", "b"],
         ["score", "--input", "a", "--out", "b"],
+        ["profile", "--input", "a"],
     ):
         args = ap.parse_args(argv)
         assert callable(args.fn)
@@ -71,3 +72,11 @@ def test_tokenize_and_score_roundtrip(spark, tmp_path, capfd):
     main(["score", "--input", src, "--out", top_out,
           "--top-fraction", "0.25"])
     assert spark.read.parquet(top_out).count() == 125  # ceil(.25*500)
+
+
+def test_profile_prints_columns(spark, capfd):
+    main(["profile", "--input", "/root/testdata/sf0.001/documents.parquet"])
+    out = capfd.readouterr().out
+    for col in ("doc_id", "text", "lang", "source", "n_chars"):
+        assert f"{col}\t" in out
+    assert "rows=500" in out
