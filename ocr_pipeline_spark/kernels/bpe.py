@@ -40,6 +40,7 @@ __all__ = [
     "TRAIN_CORPUS",
     "Merge",
     "apply_merge",
+    "corpus_alphabet",
     "default_merges",
     "encode_ids",
     "encode_text",
@@ -158,18 +159,34 @@ def encode_text(text: str | None, merges: list[Merge]) -> list[str]:
     return out
 
 
-def vocab_of(merges: "list[Merge]") -> list[str]:
+def corpus_alphabet(texts: "list[str | None]") -> list[str]:
+    """Sorted single-character alphabet of a training corpus (the id
+    space's base symbols)."""
+    return sorted({c for t in texts for w in norm_words(t) for c in w})
+
+
+def vocab_of(
+    merges: "list[Merge]", alphabet: "list[str] | None" = None
+) -> list[str]:
     """The tokenizer vocabulary: '<unk>' at id 0, then the sorted
-    single-character alphabet of TRAIN_CORPUS, then merged symbols in
-    rank order — deterministic from the merge table alone, so every
-    engine regenerates the identical id mapping."""
-    alphabet = sorted({c for t in TRAIN_CORPUS for w in norm_words(t) for c in w})
-    return ["<unk>"] + alphabet + [m.merged for m in merges]
+    single-character training alphabet, then merged symbols in rank
+    order. The alphabet is part of the tokenizer artifact — pass the
+    one from YOUR training corpus (``corpus_alphabet``) with
+    corpus-trained merges; the default is the TRAIN_CORPUS alphabet,
+    matching ``default_merges`` ONLY."""
+    if alphabet is None:
+        alphabet = corpus_alphabet(list(TRAIN_CORPUS))
+    return ["<unk>"] + list(alphabet) + [m.merged for m in merges]
 
 
-def encode_ids(text: str | None, merges: "list[Merge]") -> list[int]:
-    """Token-id encoding: the subword stream mapped through vocab_of
-    (unknown symbols — characters outside the training alphabet — map
-    to 0)."""
-    vocab = {s: i for i, s in enumerate(vocab_of(merges))}
+def encode_ids(
+    text: str | None,
+    merges: "list[Merge]",
+    alphabet: "list[str] | None" = None,
+) -> list[int]:
+    """Token-id encoding: the subword stream mapped through
+    ``vocab_of(merges, alphabet)`` (symbols outside the vocabulary map
+    to 0 = '<unk>'). As with vocab_of, pass the training corpus's
+    alphabet unless the merges are ``default_merges``."""
+    vocab = {s: i for i, s in enumerate(vocab_of(merges, alphabet))}
     return [vocab.get(s, 0) for s in encode_text(text, merges)]

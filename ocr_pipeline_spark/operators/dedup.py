@@ -617,6 +617,12 @@ def chunk_dedup(
             ),
         ).alias("chunks"),
     )
+    # lazy checkpoint (the tfidf/quality_scores precedent): keyed feeds
+    # BOTH the winner election and the kept-index join — without it the
+    # corpus is tokenized+chunked+hashed once per consumer. The state is
+    # (doc_id, chunk_idx, 16-hex) shorts, never chunk text; reassembly
+    # below re-chunks from the source scan, so the whole operator costs
+    # two corpus scans, not three (pinned in test_plans.py).
     keyed = (
         chunked.select(
             "doc_id",
@@ -629,6 +635,7 @@ def chunk_dedup(
             F.substring(F.md5(F.encode(F.col("chunk"), "UTF-8")), 1, 16)
             .alias("chash"),
         )
+        .localCheckpoint(eager=False)
     )
     winners = keyed.groupBy("chash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("w")

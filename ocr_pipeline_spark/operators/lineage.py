@@ -155,19 +155,27 @@ def diff_extractions(
     extracted text itself never moves. Aggregate downstream
     (groupBy('status').count()) for the promotion gate.
     """
+    # presence markers, NOT hash nullability: a run may legitimately
+    # carry a NULL hash for a key (e.g. a failed extraction) — that key
+    # is still PRESENT, and pairing it with the other run must be
+    # 'diff', never 'only_*'. NULL hashes coalesce to '' before compare.
     o = old.select(
-        F.col(key), F.col(hash_col).alias("old_sha")
+        F.col(key),
+        F.coalesce(F.col(hash_col), F.lit("")).alias("old_sha"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(key), F.col(hash_col).alias("new_sha")
+        F.col(key),
+        F.coalesce(F.col(hash_col), F.lit("")).alias("new_sha"),
+        F.lit(True).alias("_in_new"),
     )
     j = o.join(n, key, "full_outer")
     return j.select(
         key,
         F.coalesce("old_sha", F.lit("")).alias("old_sha"),
         F.coalesce("new_sha", F.lit("")).alias("new_sha"),
-        F.when(F.col("old_sha").isNull(), "only_new")
-        .when(F.col("new_sha").isNull(), "only_old")
+        F.when(F.col("_in_old").isNull(), "only_new")
+        .when(F.col("_in_new").isNull(), "only_old")
         .when(F.col("old_sha") == F.col("new_sha"), "same")
         .otherwise("diff")
         .alias("status"),

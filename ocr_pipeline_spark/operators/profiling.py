@@ -16,6 +16,8 @@ coalesce to '' (never NULL-mixed output columns — CLAUDE.md recipe).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,17 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("profile_table needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate column names: {cols}")
+    for c in cols:
+        # names are interpolated into the stack() SQL string below —
+        # reject anything that could break out of the quoting rather
+        # than silently evaluating a different expression
+        if not re.fullmatch(r"[A-Za-z0-9_.\- ]+", c):
+            raise ValueError(
+                f"column name {c!r} not profilable (quote/backtick "
+                "characters would break the generated stack() SQL)"
+            )
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for c in cols:
         aggs += [

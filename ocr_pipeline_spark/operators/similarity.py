@@ -262,8 +262,10 @@ def ivf_topk(
         if centroids is not None
         else _centroids(n_cells, dim, seed)
     )
-    if centroids is not None and len(cents) != n_cells:
-        n_cells = len(cents)
+    if n_probe > len(cents):
+        raise ValueError(
+            f"n_probe {n_probe} exceeds the {len(cents)}-cell codebook"
+        )
     scores = _cell_scores(F.col(vec_col), cents)
     # nearest cell = max by (score, cell) — array_max on struct orders by
     # the first field with the int as deterministic tie-break

@@ -196,21 +196,11 @@ def cms_estimate(
     the true count, within eN/width with probability 1 - (1/2)^depth.
     Output: (value, est). The query list is a small driver-side literal
     (the sketch's point-lookup API); missing cells count 0."""
+    from .textstats import token_hash48
+
     spark = state.sparkSession
     cells = [
-        (
-            v,
-            r,
-            int(
-                int(
-                    __import__("hashlib")
-                    .md5(f"cms{r}_{v}".encode())
-                    .hexdigest()[:12],
-                    16,
-                )
-                % width
-            ),
-        )
+        (v, r, token_hash48(f"cms{r}_{v}") % width)
         for v in queries
         for r in range(depth)
     ]

@@ -305,6 +305,12 @@ def write_epoch_shards(
     exchange — the shard repartition — which any layout write must pay;
     the sort is partition-local (no global sort, no range exchange).
     """
+    for reserved in ("shard", "_k"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"input already has a {reserved!r} column (re-sharding "
+                "a previously written epoch? drop it first)"
+            )
     keyed = docs.select(
         "*",
         F.md5(

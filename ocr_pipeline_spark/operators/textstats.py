@@ -370,10 +370,19 @@ def fingerprint(col: Column, prefix_len: int = 16) -> Column:
 
 def _token_hash(tok: Column) -> Column:
     """48-bit int hash of a token: first 12 hex chars of md5 — portable
-    (DuckDB: ('0x' || substr(md5(t), 1, 12))::BIGINT)."""
+    (DuckDB: ('0x' || substr(md5(t), 1, 12))::BIGINT; Python:
+    ``token_hash48``). The ONE definition of this recipe."""
     return F.conv(
         F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 12), 16, 10
     ).cast("long")
+
+
+def token_hash48(s: str) -> int:
+    """Python-side companion of ``_token_hash`` — same bytes, same 48
+    bits (driver-side probe-cell computation, oracle constants)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
 
 
 def rolling_hash(col: Column, mod: int = 1 << 31) -> Column:

@@ -105,13 +105,21 @@ def upsert_table(
             "dedup before upserting (last-writer-wins is not guessed)"
         )
     if _is_catalog_ident(spark, target):
-        updates.createOrReplaceTempView("_upsert_updates")
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-        spark.sql(
-            f"MERGE INTO {target} t USING _upsert_updates s ON {cond} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        # unique view name + drop: a fixed name would let concurrent
+        # upserts on one session clobber each other's source mid-MERGE
+        import uuid
+
+        view = f"_upsert_{uuid.uuid4().hex}"
+        updates.createOrReplaceTempView(view)
+        try:
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            spark.sql(
+                f"MERGE INTO {target} t USING {view} s ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return
     try:
         existing = spark.read.parquet(target)

@@ -111,3 +111,21 @@ def test_diff_extractions_statuses(spark):
         "u3": ("only_old", "h3", ""),
         "u4": ("only_new", "", "h4"),
     }
+
+
+def test_diff_extractions_null_hash_is_presence_not_absence(spark):
+    from ocr_pipeline_spark.operators.lineage import diff_extractions
+
+    old = spark.createDataFrame(
+        [("u", None)], "url string, text_sha256 string"
+    )
+    new = spark.createDataFrame(
+        [("u", "abc")], "url string, text_sha256 string"
+    )
+    r = diff_extractions(old, new).collect()[0]
+    # the url existed in BOTH runs — a NULL hash is a failed
+    # extraction, not an absent document
+    assert (r["status"], r["old_sha"], r["new_sha"]) == ("diff", "", "abc")
+    # two NULL hashes are the same (failed) result
+    r2 = diff_extractions(old, old).collect()[0]
+    assert r2["status"] == "same"

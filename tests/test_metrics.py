@@ -58,3 +58,16 @@ def test_profile_table_stats(spark):
 
     with _pytest.raises(ValueError):
         profile_table(df, cols=[])
+
+
+def test_profile_table_rejects_unquotable_names(spark):
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame([(1,)], "id long")
+    bad = df.withColumnRenamed("id", "it's")
+    with _pytest.raises(ValueError, match="not profilable"):
+        profile_table(bad)
+    with _pytest.raises(ValueError, match="duplicate"):
+        profile_table(df, cols=["id", "id"])

@@ -297,6 +297,9 @@ def test_chunk_dedup_election_shuffles_hashes_only(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the checkpointed keyed view serves election AND kept-index join:
+    # one scan for them + one for reassembly, never one per consumer
+    assert plan.count("FileScan") <= 2
     blocks = _shuffle_blocks(df)
     assert blocks
     text_blocks = [

@@ -208,3 +208,12 @@ def test_write_epoch_shards_layout_and_order(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 200
     assert got.select("doc_id").distinct().count() == 200
+
+
+def test_write_epoch_shards_rejects_reserved_columns(spark, tmp_path):
+    from ocr_pipeline_spark.operators.splits import write_epoch_shards
+
+    docs = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    clash = docs.withColumn("shard", docs.doc_id % 2)
+    with pytest.raises(ValueError, match="shard"):
+        write_epoch_shards(clash, str(tmp_path / "x"))
