@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, DataFrameWriter, SparkSession
 
-__all__ = ["iceberg_available", "read_table", "upsert_table", "write_table"]
+__all__ = [
+    "iceberg_available",
+    "read_table",
+    "upsert_table",
+    "write_bucketed",
+    "write_table",
+]
 
 _FORMAT = "iceberg"
 
@@ -139,3 +145,32 @@ def upsert_table(
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         target
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by
+    ``bucket_col`` as a managed table — the co-location contract that
+    makes later equi-joins on that column SHUFFLE-FREE: two tables
+    bucketed the same way sort-merge join with zero Exchange, the plan
+    property that matters most at 100 TB (every daily join against a
+    10^12-row corpus stops paying a corpus-wide shuffle).
+
+    Parquet/warehouse form of the Iceberg ``bucket(n, col)`` partition
+    transform; pinned by tests/test_plans.py::test_bucketed_join_has_no
+    _exchange. Sort within buckets (``sort_col``) additionally removes
+    the join-side Sort."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

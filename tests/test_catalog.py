@@ -72,3 +72,18 @@ def test_upsert_creates_missing_target_and_rejects_dupes(spark, tmp_path):
         upsert_table(spark, dup, path, ["id"])
     with pytest.raises(ValueError, match="key column"):
         upsert_table(spark, ups, path, [])
+
+
+def test_write_bucketed_roundtrip(spark, tmp_path):
+    from ocr_pipeline_spark.sources.catalog import write_bucketed
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id long, v string"
+    )
+    write_bucketed(df, "bk_rt", "id", n_buckets=4)
+    try:
+        got = spark.table("bk_rt")
+        assert got.count() == 50
+        assert sorted(r["id"] for r in got.collect()) == list(range(50))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_rt")
