@@ -48,6 +48,22 @@ HEADLINE = [
     "x_extract_fused",
 ]
 
+# round-3 operator additions, timed outside the headline total (which
+# stays comparable to the r1/r2 baselines); values recorded per round
+# in BASELINE.md alongside the headline table
+EXTENDED = [
+    "dd_chunk_dedup",
+    "qc_scores",
+    "qc_top_fraction",
+    "ml_kmeans_cells",
+    "sp_epoch_shuffle",
+    "sp_mix_budget",
+    "sk_heavy_hitters",
+    "ct_contamination",
+    "meta_profile",
+    "a_rollup_stats",
+]
+
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
@@ -103,6 +119,14 @@ def run_headline(sf_dir: str, cores: str) -> dict:
         t0 = time.monotonic()
         _force(df)
         timings[name] = round(time.monotonic() - t0, 3)
+    # round-3 operators, timed separately so the headline total stays
+    # comparable across rounds (per-query baselines in BASELINE.md)
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        df = qs[name](spark, sf_dir)
+        t0 = time.monotonic()
+        _force(df)
+        extended[name] = round(time.monotonic() - t0, 3)
     recall = _ann_recall(spark, sf_dir)
     tokenizer = _bpe_throughput(spark, sf_dir)
     spark.stop()
@@ -111,6 +135,7 @@ def run_headline(sf_dir: str, cores: str) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "recall": recall,
         "tokenizer": tokenizer,
         "sf": sf,
