@@ -4,6 +4,7 @@ streaming primitives."""
 
 from .stream_extract import (
     read_pages_stream,
+    start_curate_stream,
     start_extract_stream,
     stream_curate,
     stream_dedup,
@@ -15,6 +16,7 @@ from .listener import ThroughputListener
 __all__ = [
     "ThroughputListener",
     "read_pages_stream",
+    "start_curate_stream",
     "start_extract_stream",
     "stream_curate",
     "stream_dedup",

@@ -32,6 +32,7 @@ from ..operators.extraction import extract_pages
 from ..sources.synth_pages import PAGES_SCHEMA
 
 __all__ = [
+    "start_curate_stream",
     "stream_curate",
     "read_pages_stream",
     "start_extract_stream",
@@ -167,3 +168,37 @@ def stream_curate(
         keyed, key_cols=("fingerprint",), ts_col=ts_col,
         watermark=watermark,
     )
+
+
+def start_curate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    schema=None,
+    langs: tuple[str, ...] | None = None,
+    watermark: str = "24 hours",
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Run stream_curate as a continuous parquet→parquet query (the
+    curation sibling of start_extract_stream, same trigger surface).
+    ``schema`` defaults to the documents-table shape with an event-time
+    column: (doc_id long, warc_ts timestamp, text string, lang
+    string)."""
+    schema = schema or (
+        "doc_id long, warc_ts timestamp, text string, lang string"
+    )
+    docs = spark.readStream.schema(schema).parquet(src_dir)
+    curated = stream_curate(docs, watermark=watermark, langs=langs)
+    writer = (
+        curated.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

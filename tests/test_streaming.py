@@ -265,3 +265,27 @@ def test_stream_curate_gates_and_dedups(spark, tmp_path):
     batch = stream_curate(spark.createDataFrame(rows, schema))
     ids = sorted(r["doc_id"] for r in batch.collect())
     assert ids == [1, 4]
+
+
+def test_start_curate_stream_end_to_end(spark, tmp_path):
+    import datetime
+
+    from ocr_pipeline_spark.streaming import start_curate_stream
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    good = (
+        "the quick brown fox keeps the garden and the house in the sun "
+        "while the dog sleeps by the door"
+    )
+    rows = [(1, ts, good, "en"), (2, ts, good, "en"), (3, ts, "zz", "en")]
+    schema = "doc_id long, warc_ts timestamp, text string, lang string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    q = start_curate_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    _wait(q)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 1  # one quality fingerprint survives
+    assert got.first()["doc_id"] in (1, 2)
