@@ -115,6 +115,8 @@ from ocr_pipeline_spark.plans.curate_job import curate, curate_incremental
 from ocr_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
     STOPWORDS_EN,
+    UNICODE_SAMPLES,
+    with_nfc_text,
     lang_id,
     lang_id_multi,
     quality_flags,
@@ -241,6 +243,7 @@ _VALIDATION_PRIORITY = [
     "sim_dup_clusters",
     "x_diff_runs",
     "ml_kmeans_cells",
+    "ts_nfc",
 ]
 
 
@@ -328,6 +331,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 0.25 is binary-exact so ceil(frac*N) matches across engines
         "qc_top_fraction": lambda s, d: select_top_fraction(
             _t(s, d, "documents"), frac=0.25
+        ),
+        # Unicode NFC canonicalization over documents + planted
+        # decomposed/composed fixtures (synth corpus is pure ASCII —
+        # vacuous otherwise); Arrow-batched unicodedata vs DuckDB's
+        # native nfc_normalize
+        "ts_nfc": lambda s, d: with_nfc_text(
+            _t(s, d, "documents")
+            .select("doc_id", "text")
+            .union(
+                s.createDataFrame(
+                    [
+                        (2_000_000 + i, t)
+                        for i, t in enumerate(UNICODE_SAMPLES)
+                    ],
+                    "doc_id long, text string",
+                )
+            )
         ),
         # -- training-data ops: dedup --------------------------------------
         "dd_exact": lambda s, d: exact_dedup(_t(s, d, "documents")),
@@ -1845,6 +1865,20 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (ORDER BY quality_score DESC,
                                        doc_id)
                     <= greatest(1, ceil(0.25 * (SELECT count(*) FROM s)))
+        """,
+        "ts_nfc": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {", ".join(
+                f"({2_000_000 + i}, '{_sql_quote(t)}')"
+                for i, t in enumerate(UNICODE_SAMPLES)
+              )}) AS t(doc_id, text))
+            SELECT doc_id,
+                   nfc_normalize(coalesce(text, '')) AS nfc_text,
+                   nfc_normalize(coalesce(text, ''))
+                     != coalesce(text, '') AS changed
+            FROM d
         """,
         "ts_langid": f"""
             WITH t AS (

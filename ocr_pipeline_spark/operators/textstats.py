@@ -34,6 +34,8 @@ __all__ = [
     "tfidf_top_terms",
     "rolling_hash",
     "winnow_fingerprints",
+    "UNICODE_SAMPLES",
+    "with_nfc_text",
 ]
 
 # Tiny deterministic English stopword list (top function words) — used by
@@ -424,3 +426,43 @@ def winnow_fingerprints(
         "doc_id",
         F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
     )
+
+
+# planted Unicode-normalization fixtures for the driver query (the
+# PII_SAMPLES precedent: the synth corpus is pure ASCII, so without
+# planted rows the NFC check would be vacuous)
+UNICODE_SAMPLES: list[str] = [
+    "café visit",            # e + combining acute -> composed
+    "déjà vu",           # already composed (unchanged)
+    "Ångström",        # ring + diaeresis decomposed
+    "한Å",    # hangul jamo + angstrom sign
+    "plain ascii stays put",
+]
+
+
+def with_nfc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC canonicalization: (doc_id, nfc_text, changed) — the
+    text-canonicalization step multilingual web pipelines run before
+    hashing/dedup (decomposed and composed accent sequences must not
+    produce different fingerprints for identical rendered text).
+
+    Spark has no built-in NFC, so this is an Arrow-batched mapInPandas
+    over Python's unicodedata — the codec-style exception to the
+    no-Python-in-hot-paths rule (multimodal.decode precedent); the
+    DuckDB oracle uses its native nfc_normalize, empirically identical
+    on the fixture classes (combining marks, Hangul jamo, compatibility
+    characters are untouched by NFC on both engines). NULL text
+    normalizes to '' (engine-wide NULL recipe)."""
+    out_schema = "doc_id long, nfc_text string, changed boolean"
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            src = pdf[text_col].fillna("")
+            nfc = src.map(lambda t: unicodedata.normalize("NFC", t))
+            yield pdf.assign(nfc_text=nfc, changed=(nfc != src))[
+                ["doc_id", "nfc_text", "changed"]
+            ]
+
+    return docs.select("doc_id", text_col).mapInPandas(run, out_schema)

@@ -170,3 +170,27 @@ def test_null_text_is_engine_portable(spark):
     }
     assert got_p[1]["scrubbed"] == ""
     assert (got_p[1]["n_email"], got_p[1]["n_ip"], got_p[1]["n_phone"]) == (0, 0, 0)
+
+
+def test_nfc_normalization_composes_and_flags(spark):
+    import unicodedata
+
+    from ocr_pipeline_spark.operators.textstats import (
+        UNICODE_SAMPLES,
+        with_nfc_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(UNICODE_SAMPLES)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["nfc_text"], r["changed"])
+        for r in with_nfc_text(docs).collect()
+    }
+    for i, t in enumerate(UNICODE_SAMPLES):
+        nfc = unicodedata.normalize("NFC", t)
+        assert got[i] == (nfc, nfc != t)
+    assert got[99] == ("", False)  # NULL text -> '' (engine recipe)
+    # the fixtures must actually exercise the operator (non-vacuous)
+    assert any(ch for _, ch in got.values())
