@@ -116,6 +116,8 @@ from ocr_pipeline_spark.operators.textstats import (
     LANG_STOPWORDS,
     STOPWORDS_EN,
     UNICODE_SAMPLES,
+    lang_id_ngram,
+    lang_trigram_sets,
     with_nfc_text,
     lang_id,
     lang_id_multi,
@@ -244,6 +246,7 @@ _VALIDATION_PRIORITY = [
     "x_diff_runs",
     "ml_kmeans_cells",
     "ts_nfc",
+    "ts_langid_ngram",
 ]
 
 
@@ -273,6 +276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality_flags": lambda s, d: quality_flags(_t(s, d, "documents")),
         "ts_langid": lambda s, d: lang_id(_t(s, d, "documents")),
         "ts_langid_multi": lambda s, d: lang_id_multi(_t(s, d, "documents")),
+        # character-trigram profile lang-ID (textcat-style): profiles
+        # derived deterministically from LANG_STOPWORDS, so the oracle
+        # regenerates identical literals
+        "ts_langid_ngram": lambda s, d: lang_id_ngram(
+            _t(s, d, "documents")
+        ),
         # Gopher-style repetition filters (gram text never crosses the
         # shuffle — hashed keys only; see repetition_stats docstring)
         "ts_repetition": lambda s, d: repetition_stats(_t(s, d, "documents")),
@@ -1866,6 +1875,32 @@ def oracle_sql() -> dict[str, str]:
                                        doc_id)
                     <= greatest(1, ceil(0.25 * (SELECT count(*) FROM s)))
         """,
+        "ts_langid_ngram": (lambda sets: f"""
+            WITH s AS (SELECT doc_id, ' ' || {_NORM} || ' ' AS p
+                       FROM documents),
+            t AS (SELECT doc_id,
+                         list_transform(range(1, length(p) - 1),
+                           i -> substr(p, i::INT, 3)) AS tri
+                  FROM s)
+            SELECT doc_id,
+                   {", ".join(
+                     "cast(len(list_filter(tri, g -> list_contains(["
+                     + ", ".join(f"'{_sql_quote(g)}'" for g in sets[lang])
+                     + f"], g))) as bigint) AS hits_{lang}"
+                     for lang in ("en", "de", "es", "fr")
+                   )},
+                   CASE
+                     WHEN greatest(hits_en, hits_de, hits_es, hits_fr) = 0
+                       THEN 'unknown'
+                     WHEN hits_en >= hits_de AND hits_en >= hits_es
+                          AND hits_en >= hits_fr THEN 'en'
+                     WHEN hits_de >= hits_es AND hits_de >= hits_fr
+                       THEN 'de'
+                     WHEN hits_es >= hits_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS lang_guess
+            FROM t
+        """)(lang_trigram_sets()),
         "ts_nfc": f"""
             WITH d AS (
               SELECT doc_id, text FROM documents

@@ -35,6 +35,8 @@ __all__ = [
     "rolling_hash",
     "winnow_fingerprints",
     "UNICODE_SAMPLES",
+    "lang_id_ngram",
+    "lang_trigram_sets",
     "with_nfc_text",
 ]
 
@@ -466,3 +468,81 @@ def with_nfc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ]
 
     return docs.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+def lang_trigram_sets(top: int = 30) -> dict[str, list[str]]:
+    """Per-language character-trigram profiles, derived
+    deterministically from LANG_STOPWORDS (trigrams of the
+    space-joined function words, top-``top`` by count with a
+    lexicographic tie-break) — the same list regenerates in any
+    engine/oracle, no hand-maintained tables."""
+    from collections import Counter
+
+    out: dict[str, list[str]] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        s = " " + " ".join(words) + " "
+        counts = Counter(s[i : i + 3] for i in range(len(s) - 2))
+        out[lang] = [
+            g
+            for g, _ in sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:top]
+        ]
+    return out
+
+
+def lang_id_ngram(
+    docs: DataFrame,
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+) -> DataFrame:
+    """Character-n-gram language ID (the classic n-gram-profile
+    heuristic, textcat-style): the padded normalized text's trigrams
+    are scored against each language's function-word trigram profile;
+    guess = argmax hits with ``langs``-order priority on ties, or
+    'unknown' when nothing matches. Complements the token-level
+    ``lang_id_multi`` — n-gram profiles catch inflected/compounded
+    forms whole-token stopword matching misses.
+
+    Scan-local staged projections: the trigram array is materialized
+    once (no CSE), each profile check is a vectorized membership
+    filter. Integer evidence only."""
+    sets = lang_trigram_sets()
+    padded = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
+    staged = docs.select("doc_id", padded.alias("_p"))
+    tri = F.when(
+        F.length("_p") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_p") - F.lit(2)),
+            lambda i: F.substr(F.col("_p"), i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged2 = staged.select("doc_id", tri.alias("_tri"))
+    hit_cols = []
+    for lang in langs:
+        arr = F.array(*[F.lit(g) for g in sets[lang]])
+        hit_cols.append(
+            F.size(F.filter(F.col("_tri"), _in_arr(arr)))
+            .cast("long")
+            .alias(f"hits_{lang}")
+        )
+    staged3 = staged2.select("doc_id", *hit_cols)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"hits_{lang}").alias("h"),
+                    F.lit(-i).alias("p"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    return staged3.select(
+        "doc_id",
+        *[f"hits_{lang}" for lang in langs],
+        F.when(best.getField("h") > 0, best.getField("lang"))
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )

@@ -194,3 +194,26 @@ def test_nfc_normalization_composes_and_flags(spark):
     assert got[99] == ("", False)  # NULL text -> '' (engine recipe)
     # the fixtures must actually exercise the operator (non-vacuous)
     assert any(ch for _, ch in got.values())
+
+
+def test_lang_id_ngram_classifies_and_handles_edges(spark):
+    from ocr_pipeline_spark.operators.textstats import (
+        lang_id_ngram,
+        lang_trigram_sets,
+    )
+
+    sets = lang_trigram_sets()
+    assert set(sets) == {"en", "de", "es", "fr"}
+    assert all(len(v) == 30 and len(set(v)) == 30 for v in sets.values())
+    rows = [
+        (1, "the quick brown fox and the lazy dog in the park"),
+        (2, "der hund und die katze sind nicht auf der wiese"),
+        (3, "le chien et le chat sont dans la maison avec nous"),
+        (4, "el perro y el gato están en la casa para todos"),
+        (5, "zzz qqq"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id_ngram(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es",
+                   5: "unknown", 6: "unknown"}
