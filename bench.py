@@ -62,6 +62,8 @@ EXTENDED = [
     "ct_contamination",
     "meta_profile",
     "a_rollup_stats",
+    "ts_nfc",
+    "ts_langid_ngram",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -165,9 +165,19 @@ def write_bucketed(
     Parquet/warehouse form of the Iceberg ``bucket(n, col)`` partition
     transform; pinned by tests/test_plans.py::test_bucketed_join_has_no
     _exchange. Sort within buckets (``sort_col``) additionally removes
-    the join-side Sort."""
+    the join-side Sort.
+
+    The repartition below is the CLAUDE.md writes rule applied to
+    bucketBy: without it every upstream task emits a file per bucket
+    it sees (tasks × n_buckets shards — the classic bucketBy
+    small-files explosion); repartitioning on the bucket column first
+    (same Murmur3 hash as the bucket router) yields one file per
+    bucket per run."""
+    from pyspark.sql import functions as F
+
     writer = (
-        df.write.mode(mode)
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode(mode)
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
     )

@@ -87,6 +87,28 @@ def read_pages_stream(
     return reader.parquet(src_dir)
 
 
+def _start_parquet_sink(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool,
+    processing_time: str | None,
+) -> StreamingQuery:
+    """Shared parquet-sink + trigger surface for every streaming runner
+    (extract, curate) — one place to grow the trigger options."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_extract_stream(
     spark: SparkSession,
     src_dir: str,
@@ -100,17 +122,9 @@ def start_extract_stream(
     semantics chosen by the caller (hybrid = both size and time)."""
     pages = read_pages_stream(spark, src_dir, max_files_per_trigger)
     extracted = extract_pages(pages)
-    writer = (
-        extracted.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _start_parquet_sink(
+        extracted, out_path, checkpoint, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time is not None:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
 
 
 def stream_window_counts(
@@ -191,14 +205,6 @@ def start_curate_stream(
     )
     docs = spark.readStream.schema(schema).parquet(src_dir)
     curated = stream_curate(docs, watermark=watermark, langs=langs)
-    writer = (
-        curated.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+    return _start_parquet_sink(
+        curated, out_path, checkpoint, available_now, processing_time
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time is not None:
-        writer = writer.trigger(processingTime=processing_time)
-    return writer.start()

@@ -87,3 +87,19 @@ def test_write_bucketed_roundtrip(spark, tmp_path):
         assert sorted(r["id"] for r in got.collect()) == list(range(50))
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_rt")
+
+
+def test_write_bucketed_one_file_per_bucket(spark):
+    import glob
+
+    from ocr_pipeline_spark.sources.catalog import write_bucketed
+
+    # many upstream partitions: without the repartition-before-bucketBy
+    # rule this writes up to partitions x buckets files
+    df = spark.range(0, 400).withColumnRenamed("id", "k").repartition(16)
+    write_bucketed(df, "bk_files", "k", n_buckets=4)
+    try:
+        files = glob.glob("spark-warehouse/bk_files/*.parquet")
+        assert len(files) == 4, files
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_files")

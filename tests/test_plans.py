@@ -373,3 +373,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_lang_id_ngram_is_narrow_and_staged(spark):
+    """lang_id_ngram's plan contract: pure scan-local (no Exchange),
+    and the trigram array is built ONCE — the per-language membership
+    filters reference the staged _tri column instead of re-inlining
+    the sequence/substr construction per profile (the no-CSE trap)."""
+    from ocr_pipeline_spark.operators.textstats import lang_id_ngram
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = lang_id_ngram(docs)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("sequence(1,") == 1, opt
