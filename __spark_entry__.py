@@ -247,6 +247,7 @@ _VALIDATION_PRIORITY = [
     "ml_kmeans_cells",
     "ts_nfc",
     "ts_langid_ngram",
+    "p_hot_domains",
 ]
 
 
@@ -271,6 +272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "semi_error_users": _semi_error_users,
         "a1_explode_tokens": _a1_explode_tokens,
+        # the skew-mitigation pre-pass as a value-checked table (row
+        # weight per domain + hot flag at the default 5% share)
+        "p_hot_domains": _p_hot_domains,
         # -- training-data ops: text analysis ------------------------------
         "ts_token_stats": lambda s, d: token_stats(_t(s, d, "documents")),
         "ts_quality_flags": lambda s, d: quality_flags(_t(s, d, "documents")),
@@ -689,6 +693,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_pages(_synth_pages_df(s, seed=43)),
         ).orderBy("url"),
     })
+
+
+def _p_hot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pre-pass (operators/partitioning.find_hot_domains) as
+    a value-checked table: per-domain row weight over the deterministic
+    synth-page urls + the hot flag at the default 5% share. The synth
+    corpus has 3 planted hot domains (~16-19% each) over a ~4% tail, so
+    both flag values are exercised."""
+    from ocr_pipeline_spark.operators.partitioning import domain_of
+
+    pages = _synth_pages_df(spark)
+    stats = (
+        pages.select(domain_of(F.col("url")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    total = stats.agg(F.sum("w").alias("t"))
+    return stats.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "w",
+        (F.col("w") > F.lit(0.05) * F.col("t")).alias("is_hot"),
+    )
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2432,6 +2458,19 @@ def oracle_sql() -> dict[str, str]:
         "x_debug_overlay": _x_overlay_oracle(),
         # url canonicalization: deterministic input urls inlined; DuckDB
         # recomputes the chain independently via CANON_STEPS_SQL
+        "p_hot_domains": f"""
+            WITH u AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain
+              FROM (VALUES {", ".join(
+                f"('{_sql_quote(u)}')"
+                for u, _, _ in _extract_expected()
+              )}) t(url)),
+            s AS (SELECT domain, cast(count(*) as bigint) AS w
+                  FROM u GROUP BY domain)
+            SELECT domain, w,
+                   w > 0.05 * (SELECT sum(w) FROM s) AS is_hot
+            FROM s
+        """,
         "url_canonical": f"""
             SELECT url, {CANON_STEPS_SQL("url")} AS canonical_url
             FROM (VALUES {", ".join(f"('{_sql_quote(u)}')" for u in _url_corpus())}) t(url)

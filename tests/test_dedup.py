@@ -191,3 +191,48 @@ def test_chunk_dedup_rejects_bad_k(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_dedup(docs, k=0)
+
+
+def test_chunk_dedup_preserves_content_invariants(spark):
+    """Corpus-level properties on real data: (a) the number of kept
+    chunks equals the number of DISTINCT chunks corpus-wide; (b) every
+    doc's dedup_text is a subsequence of its chunking (winner chunks in
+    original order); (c) a doc whose chunks are all unique corpus-wide
+    survives verbatim."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = chunk_dedup(docs).collect()
+    total_kept = sum(r["n_kept"] for r in rows)
+
+    # recompute chunking in Python (same normalization the engine uses)
+    import re as _re
+
+    def chunks_of(text):
+        norm = _re.sub(r"\s+", " ", (text or "").lower(), flags=_re.ASCII
+                       ).strip(" ")
+        toks = norm.split(" ") if norm else [""]
+        return [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    all_chunks = [c for t in texts.values() for c in chunks_of(t)]
+    assert total_kept == len(set(all_chunks))
+    for r in rows:
+        own = chunks_of(texts[r["doc_id"]])
+        assert r["n_chunks"] == len(own)
+        # kept text must be own chunks joined in order (subsequence);
+        # when nothing was dropped it is the verbatim chunking
+        if r["n_kept"] == len(own):
+            assert r["dedup_text"] == " ".join(own)
+        else:
+            kept_join = r["dedup_text"]
+            # every kept doc text reassembles from a subsequence of its
+            # own chunk list
+            pos = 0
+            for c in own:
+                if kept_join[pos : pos + len(c)] == c:
+                    pos += len(c) + 1
+            assert pos >= len(kept_join)
