@@ -87,6 +87,26 @@ def _cmd_curate(args) -> None:
     )
 
 
+def _cmd_stream_curate(args) -> None:
+    from .streaming import start_curate_stream
+
+    spark = get_spark("cli-stream-curate", cores=args.cores)
+    langs = tuple(args.langs.split(",")) if args.langs else None
+    q = start_curate_stream(
+        spark,
+        args.input,
+        args.out,
+        args.checkpoint,
+        langs=langs,
+        watermark=args.watermark,
+        available_now=args.available_now,
+        processing_time=args.processing_time,
+    )
+    q.awaitTermination(args.timeout)
+    if q.isActive:
+        q.stop()
+
+
 def _cmd_tokenize(args) -> None:
     from .kernels.bpe import default_merges
     from .operators.bpe import bpe_encode_pandas, bpe_train
@@ -178,6 +198,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scrub", action="store_true",
                    help="redact PII in the surviving text")
     p.set_defaults(fn=_cmd_curate)
+
+    p = sub.add_parser(
+        "stream-curate",
+        help="streaming curation (quality gate + watermark dedup)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--langs", default="", help="comma list; empty = all")
+    p.add_argument("--watermark", default="24 hours")
+    p.add_argument("--available-now", action="store_true")
+    p.add_argument("--processing-time", default=None)
+    p.add_argument("--timeout", type=int, default=3600)
+    p.set_defaults(fn=_cmd_stream_curate)
 
     p = sub.add_parser(
         "tokenize", help="BPE-encode a documents table (Arrow bulk path)"

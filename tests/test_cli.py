@@ -20,6 +20,8 @@ def test_parser_subcommands():
         ["tokenize", "--input", "a", "--out", "b"],
         ["score", "--input", "a", "--out", "b"],
         ["profile", "--input", "a"],
+        ["stream-curate", "--input", "a", "--out", "b",
+         "--checkpoint", "c"],
     ):
         args = ap.parse_args(argv)
         assert callable(args.fn)
@@ -80,3 +82,29 @@ def test_profile_prints_columns(spark, capfd):
     for col in ("doc_id", "text", "lang", "source", "n_chars"):
         assert f"{col}\t" in out
     assert "rows=500" in out
+
+
+def test_stream_curate_cli_end_to_end(spark, tmp_path):
+    import datetime
+
+    good = (
+        "the quick brown fox keeps the garden and the house in the sun "
+        "while the dog sleeps by the door"
+    )
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    schema = "doc_id long, warc_ts timestamp, text string, lang string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, ts, good, "en"), (2, ts, good, "en")], schema
+    ).coalesce(1).write.parquet(src)
+    main(
+        [
+            "stream-curate",
+            "--input", src,
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--available-now",
+            "--timeout", "120",
+        ]
+    )
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
