@@ -248,6 +248,7 @@ _VALIDATION_PRIORITY = [
     "ts_nfc",
     "ts_langid_ngram",
     "p_hot_domains",
+    "sp_pack_bpe",
 ]
 
 
@@ -605,6 +606,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # epoch-seeded md5, rank within shard — no RNG state anywhere
         "sp_epoch_shuffle": lambda s, d: epoch_shuffle(
             _t(s, d, "documents").select("doc_id"), n_shards=4, epoch=1
+        ),
+        # packing driven by REAL tokenizer counts (bpe_encode composed
+        # into pack_sequences — the production shape: bins sized by the
+        # tokens the model will actually see, not whitespace counts)
+        "sp_pack_bpe": lambda s, d: pack_sequences(
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                F.translate("text", "\x1f", "").alias("text"),
+            )
+            .transform(
+                lambda docs: docs.select("doc_id", "lang").join(
+                    bpe_encode(docs, _bpe_merges()), "doc_id"
+                )
+            )
+            .select(
+                "doc_id",
+                "lang",
+                F.size("bpe_tokens").cast("long").alias("n_toks"),
+            ),
+            token_col="n_toks",
+            budget=512,
+            shard_col="lang",
         ),
         # -- temporal: as-of join / interval join / session windows --------
         "t_asof_last_click": _t_asof_last_click,
@@ -1306,18 +1331,31 @@ def _bpe_fold_sql(prev: str, left: str, right: str) -> str:
     )
 
 
-def _bpe_encode_sql() -> str:
-    """bpe_encode oracle: per word, char-split then one generated
-    list_reduce fold per merge in rank order — the same left-to-right
-    spec the Spark expression path and the kernel implement. The ''
-    filter mirrors chars_col dropping the empty word ('' normalizes to
-    [''] whose char split is empty on both engines)."""
+def _bpe_toks_sql() -> str:
+    """(doc_id, toks) subquery: the generated fold-chain encoding of
+    every document — shared by the bpe_encode and sp_pack_bpe oracles.
+    Per word, char-split then one list_reduce fold per merge in rank
+    order — the same left-to-right spec the Spark expression path and
+    the kernel implement. The '' filter mirrors chars_col dropping the
+    empty word ('' normalizes to [''] whose char split is empty on
+    both engines); the inner replace mirrors the query-side translate
+    excluding the \\x1f separator."""
     expr = f"array_to_string(string_split(w,''), '{_BPE_SEP}')"
     for m in _bpe_merges():
         expr = _bpe_fold_sql(expr, m.left, m.right)
     enc_word = (
         f"list_filter(string_split({expr}, '{_BPE_SEP}'), s -> s != '')"
     )
+    return f"""
+          SELECT doc_id,
+                 flatten(list_transform({_TOKS}, w -> {enc_word})) AS toks
+          FROM (SELECT doc_id, replace(text, chr(31), '') AS text
+                FROM documents) documents
+    """
+
+
+def _bpe_encode_sql() -> str:
+    """bpe_encode oracle over the shared fold-chain subquery."""
     # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
     # concat_ws is '' (the dd_chunk_dedup recipe); the inner replace
     # mirrors the query-side translate excluding the \x1f separator;
@@ -1336,11 +1374,7 @@ def _bpe_encode_sql() -> str:
                  s -> greatest(coalesce(list_position({vocab}, s), 1) - 1,
                                0)::BIGINT),
                  ' '), '') AS bpe_ids
-        FROM (
-          SELECT doc_id,
-                 flatten(list_transform({_TOKS}, w -> {enc_word})) AS toks
-          FROM (SELECT doc_id, replace(text, chr(31), '') AS text
-                FROM documents) documents)
+        FROM ({_bpe_toks_sql()})
     """
 
 
@@ -2284,6 +2318,21 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             o AS (SELECT shard, doc_id, n_tokens,
                          sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                           - n_tokens AS so
+                  FROM t)
+            SELECT shard, doc_id, n_tokens,
+                   (so // 512)::BIGINT AS bin_idx,
+                   (so % 512)::BIGINT AS bin_offset
+            FROM o
+        """,
+        "sp_pack_bpe": f"""
+            WITH enc AS ({_bpe_toks_sql()}),
+            t AS (SELECT d.doc_id, d.lang AS shard,
+                         len(e.toks)::BIGINT AS n_tokens
+                  FROM documents d JOIN enc e USING (doc_id)),
+            o AS (SELECT shard, doc_id, n_tokens,
+                         sum(n_tokens) OVER (PARTITION BY shard
+                                             ORDER BY doc_id)
                            - n_tokens AS so
                   FROM t)
             SELECT shard, doc_id, n_tokens,
