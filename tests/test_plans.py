@@ -388,3 +388,34 @@ def test_lang_id_ngram_is_narrow_and_staged(spark):
     assert "Exchange" not in plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("sequence(1,") == 1, opt
+
+
+def test_mix_budget_totals_broadcast_no_text(spark):
+    """mix_token_budget's scale contract: the per-source rate table
+    joins back as a broadcast (a handful of rows), the keep decision is
+    scan-local, and no exchange carries text."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.splits import mix_token_budget
+    from ocr_pipeline_spark.operators.textstats import tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    df = mix_token_budget(docs, {"src0": 5000}, budget=500)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    for b in _shuffle_blocks(df):
+        assert "text#" not in b, b
+
+
+def test_profile_single_scan(spark):
+    """profile_table's contract: one aggregate pass — a single corpus
+    scan no matter how many columns are profiled."""
+    from ocr_pipeline_spark.operators.profiling import profile_table
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(profile_table(docs))
+    assert plan.count("FileScan") == 1
