@@ -618,14 +618,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.translate("text", "\x1f", "").alias("text"),
             )
             .transform(
+                # size() projected BELOW the join: the shuffle carries
+                # (doc_id, n_toks) shorts, never the token arrays
+                # (CLAUDE.md: joins move short keys only)
                 lambda docs: docs.select("doc_id", "lang").join(
-                    bpe_encode(docs, _bpe_merges()), "doc_id"
+                    bpe_encode(docs, _bpe_merges()).select(
+                        "doc_id",
+                        F.size("bpe_tokens").cast("long").alias("n_toks"),
+                    ),
+                    "doc_id",
                 )
-            )
-            .select(
-                "doc_id",
-                "lang",
-                F.size("bpe_tokens").cast("long").alias("n_toks"),
             ),
             token_col="n_toks",
             budget=512,

@@ -220,19 +220,19 @@ def test_chunk_dedup_preserves_content_invariants(spark):
     }
     all_chunks = [c for t in texts.values() for c in chunks_of(t)]
     assert total_kept == len(set(all_chunks))
+    # EXACT expectation: replay the corpus-wide first-occurrence
+    # election ((doc_id, chunk_idx) lexicographic winners) in Python
+    winners: dict[str, tuple[int, int]] = {}
+    for d in sorted(texts):
+        for i, c in enumerate(chunks_of(texts[d])):
+            winners.setdefault(c, (d, i))
     for r in rows:
         own = chunks_of(texts[r["doc_id"]])
         assert r["n_chunks"] == len(own)
-        # kept text must be own chunks joined in order (subsequence);
-        # when nothing was dropped it is the verbatim chunking
-        if r["n_kept"] == len(own):
-            assert r["dedup_text"] == " ".join(own)
-        else:
-            kept_join = r["dedup_text"]
-            # every kept doc text reassembles from a subsequence of its
-            # own chunk list
-            pos = 0
-            for c in own:
-                if kept_join[pos : pos + len(c)] == c:
-                    pos += len(c) + 1
-            assert pos >= len(kept_join)
+        expect = [
+            c
+            for i, c in enumerate(own)
+            if winners[c] == (r["doc_id"], i)
+        ]
+        assert r["n_kept"] == len(expect)
+        assert r["dedup_text"] == " ".join(expect)
