@@ -72,7 +72,10 @@ from ocr_pipeline_spark.operators.similarity import (
     ivf_topk,
     _plane_constants,
 )
-from ocr_pipeline_spark.operators.profiling import profile_table
+from ocr_pipeline_spark.operators.profiling import (
+    corpus_report,
+    profile_table,
+)
 from ocr_pipeline_spark.operators.pii import (
     PII_COUNT_SQL,
     PII_SAMPLES,
@@ -249,6 +252,7 @@ _VALIDATION_PRIORITY = [
     "ts_langid_ngram",
     "p_hot_domains",
     "sp_pack_bpe",
+    "meta_report",
 ]
 
 
@@ -641,6 +645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_profile": lambda s, d: profile_table(
             _t(s, d, "documents")
         ),
+        # dataset-card rollup: doc/token totals, quality rate, exact-dup
+        # count, lang/source breadth — one scan, bigint-exact
+        "meta_report": lambda s, d: corpus_report(_t(s, d, "documents")),
         # -- metrics rollup / window frame / json projection / set op ------
         # hierarchical corpus stats: ROLLUP(lang, source) with a
         # grouping_id disambiguator (real NULLs vs rolled-up NULLs) —
@@ -2418,6 +2425,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(min(n_chars)::VARCHAR, ''),
                    coalesce(max(n_chars)::VARCHAR, '')
             FROM documents
+        """,
+        "meta_report": f"""
+            WITH t AS (
+              SELECT lang, source, len({_TOKS})::BIGINT AS n_toks,
+                     ((len({_TOKS}) >= 5 AND len({_TOKS}) <= 100000)
+                      AND ((length({_NORM}) - (len({_TOKS}) - 1))
+                             >= 2 * len({_TOKS})
+                           AND (length({_NORM}) - (len({_TOKS}) - 1))
+                             <= 12 * len({_TOKS}))
+                      AND (50 * len(list_filter({_TOKS},
+                             x -> list_contains({_STOP_SQL}, x)))
+                           >= len({_TOKS}))) AS is_quality,
+                     substr(md5({_NORM}), 1, 16) AS fp
+              FROM documents),
+            one AS (
+              SELECT cast(count(*) as bigint) AS n_docs,
+                     cast(sum(n_toks) as bigint) AS n_tokens,
+                     cast(sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                          as bigint) AS n_quality,
+                     cast(count(*) - count(DISTINCT fp) as bigint)
+                       AS n_exact_dup_docs,
+                     cast(count(DISTINCT lang) as bigint) AS n_langs,
+                     cast(count(DISTINCT source) as bigint) AS n_sources
+              FROM t)
+            SELECT 'n_docs' AS metric, n_docs AS value FROM one
+            UNION ALL SELECT 'n_tokens', n_tokens FROM one
+            UNION ALL SELECT 'n_quality', n_quality FROM one
+            UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM one
+            UNION ALL SELECT 'n_langs', n_langs FROM one
+            UNION ALL SELECT 'n_sources', n_sources FROM one
         """,
         "a_rollup_stats": """
             SELECT coalesce(lang, '<all>') AS lang,

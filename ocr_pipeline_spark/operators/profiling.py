@@ -21,7 +21,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["corpus_report", "profile_table"]
 
 
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -69,4 +69,44 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct",
         "min_value", "max_value",
+    )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The dataset-card numbers a corpus release ships — doc/token
+    totals, quality rate, exact-duplicate count, lang/source breadth —
+    as (metric, value) rows from ONE corpus scan (staged narrow
+    derivations + a single aggregate, stacked to long form; all values
+    bigint-exact so the driver oracle checks them verbatim)."""
+    from .textstats import annotate_quality, fingerprint
+
+    ann = annotate_quality(df, text_col=text_col)
+    staged = ann.select(
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_toks"),
+        "is_quality",
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    one = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("is_quality"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("fp")))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+        F.count_distinct(F.col("source")).cast("long").alias("n_sources"),
+    )
+    metrics = (
+        "n_docs", "n_tokens", "n_quality", "n_exact_dup_docs",
+        "n_langs", "n_sources",
+    )
+    stack_args = ", ".join(f"'{m}', {m}" for m in metrics)
+    return one.select(
+        F.expr(
+            f"stack({len(metrics)}, {stack_args}) AS (metric, value)"
+        )
     )

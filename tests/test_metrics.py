@@ -71,3 +71,27 @@ def test_profile_table_rejects_unquotable_names(spark):
         profile_table(bad)
     with _pytest.raises(ValueError, match="duplicate"):
         profile_table(df, cols=["id", "id"])
+
+
+def test_corpus_report_values(spark):
+    from ocr_pipeline_spark.operators.profiling import corpus_report
+
+    good = (
+        "the quick brown fox keeps the garden and the house in the sun "
+        "while the dog sleeps by the door"
+    )
+    rows = [
+        (1, good, "en", "a"),
+        (2, good, "en", "a"),          # exact dup
+        (3, "zz", "en", "b"),          # junk
+        (4, good + " more", "de", "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["metric"]: r["value"] for r in corpus_report(docs).collect()}
+    assert got["n_docs"] == 4
+    assert got["n_exact_dup_docs"] == 1
+    assert got["n_langs"] == 2 and got["n_sources"] == 2
+    assert got["n_quality"] == 3
+    assert got["n_tokens"] == sum(len(t.split()) for _, t, _, _ in rows)
