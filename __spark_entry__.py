@@ -253,6 +253,8 @@ _VALIDATION_PRIORITY = [
     "p_hot_domains",
     "sp_pack_bpe",
     "meta_report",
+    "w_lead_lag",
+    "set_common_users",
 ]
 
 
@@ -670,8 +672,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_metrics_rollup": _a6_metrics_rollup,
         "a_percentiles": _a_percentiles,
         "w_moving_avg": _w_moving_avg,
+        "w_lead_lag": _w_lead_lag,
         "p_json_extract": _p_json_extract,
         "set_view_not_error": _set_view_not_error,
+        "set_common_users": _set_common_users,
         # -- extraction pipeline (synthesized pages input; oracles inline
         #    the pure-Python kernel's outputs over the same deterministic
         #    corpus — the kernel IS the spec, same oracle as the pytest
@@ -749,6 +753,41 @@ def _p_hot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         (F.col("w") > F.lit(0.05) * F.col("t")).alias("is_hot"),
     )
+
+
+def _w_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (lag/lead/first_value): per-user
+    inter-event gap in microseconds plus the session-anchor event — the
+    event-sequence feature extraction shape. Deterministic order via
+    the (ts, event_id) tie-break; gap NULLs coalesce to -1 (never
+    NULL-mixed columns)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_id = F.lead("event_id").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            # TIMESTAMP_NTZ has no cast-to-long in Spark 4; at MICROSECOND
+            # granularity timestamp_diff and DuckDB date_diff are both the
+            # exact difference (coarser units diverge: DuckDB counts
+            # boundary crossings, Spark truncates total micros)
+            F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")),
+            F.lit(-1),
+        ).cast("long").alias("gap_us"),
+        F.coalesce(next_id, F.lit(-1)).alias("next_event_id"),
+        F.first_value(F.col("event_id")).over(w).alias("anchor_event_id"),
+    )
+
+
+def _set_common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT companion of set_view_not_error: users active with
+    BOTH 'view' and 'click' events (distinct-set semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    return views.intersect(clicks)
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2498,6 +2537,22 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id, cast(ts as date)
             FROM events WHERE event_type = 'error'
+        """,
+        "set_common_users": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        # microsecond granularity: the only unit where DuckDB date_diff
+        # (boundary crossings) == Spark timestamp_diff (truncated micros).
+        "w_lead_lag": """
+            SELECT event_id, user_id,
+                   cast(coalesce(date_diff('microsecond', lag(ts) OVER w, ts),
+                                 -1) as bigint) AS gap_us,
+                   coalesce(lead(event_id) OVER w, -1) AS next_event_id,
+                   first_value(event_id) OVER w AS anchor_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "sim_topk_bruteforce": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
