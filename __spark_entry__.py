@@ -255,6 +255,9 @@ _VALIDATION_PRIORITY = [
     "meta_report",
     "w_lead_lag",
     "set_common_users",
+    "a_pivot_daily",
+    "w_rank_funcs",
+    "j_full_outer",
 ]
 
 
@@ -676,6 +679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_json_extract": _p_json_extract,
         "set_view_not_error": _set_view_not_error,
         "set_common_users": _set_common_users,
+        "a_pivot_daily": _a_pivot_daily,
+        "w_rank_funcs": _w_rank_funcs,
+        "j_full_outer": _j_full_outer,
         # -- extraction pipeline (synthesized pages input; oracles inline
         #    the pure-Python kernel's outputs over the same deterministic
         #    corpus — the kernel IS the spec, same oracle as the pytest
@@ -788,6 +794,72 @@ def _set_common_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select("user_id")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     return views.intersect(clicks)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _a_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list (never inferred —
+    an inference pass is an extra job and non-deterministic column
+    order); one shuffle, map-side partial counts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+
+
+def _w_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (rank / dense_rank / ntile) — integer-valued, so
+    exactly comparable cross-engine; (value DESC, event_id) fully breaks
+    ties. Both engines put NaN above all reals and NULLS LAST on DESC
+    (events.value has neither at generator scales, checked)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def _j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-(user, day) purchase counts vs
+    error counts — ~40% of keys are one-sided at both test scales, so
+    both outer directions are exercised (never a vacuous join)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return p.join(e, ["user_id", "day"], "full_outer").select(
+        "user_id",
+        "day",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+    )
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2542,6 +2614,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'view'
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'click'
+        """,
+        "a_pivot_daily": """
+            SELECT cast(ts as date) AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY day
+        """,
+        "w_rank_funcs": """
+            SELECT event_id, event_type,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value DESC, event_id)
+        """,
+        "j_full_outer": """
+            WITH p AS (SELECT user_id, cast(ts as date) AS day,
+                              count(*) AS n_purchases
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2),
+                 e AS (SELECT user_id, cast(ts as date) AS day,
+                              count(*) AS n_errors
+                       FROM events WHERE event_type = 'error'
+                       GROUP BY 1, 2)
+            SELECT user_id, day,
+                   coalesce(n_purchases, 0) AS n_purchases,
+                   coalesce(n_errors, 0) AS n_errors
+            FROM p FULL OUTER JOIN e USING (user_id, day)
         """,
         # microsecond granularity: the only unit where DuckDB date_diff
         # (boundary crossings) == Spark timestamp_diff (truncated micros).
