@@ -94,6 +94,11 @@ from ocr_pipeline_spark.operators.splits import (
     pack_sequences,
     stratified_sample,
 )
+from ocr_pipeline_spark.operators.layout import (
+    ZBITS,
+    with_zvalue,
+    zvalue_sql,
+)
 from ocr_pipeline_spark.operators.urlkit import (
     CANON_STEPS_SQL,
     EDGE_URLS,
@@ -258,6 +263,7 @@ _VALIDATION_PRIORITY = [
     "a_pivot_daily",
     "w_rank_funcs",
     "j_full_outer",
+    "sp_zorder",
 ]
 
 
@@ -682,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pivot_daily": _a_pivot_daily,
         "w_rank_funcs": _w_rank_funcs,
         "j_full_outer": _j_full_outer,
+        "sp_zorder": _sp_zorder,
         # -- extraction pipeline (synthesized pages input; oracles inline
         #    the pure-Python kernel's outputs over the same deterministic
         #    corpus — the kernel IS the spec, same oracle as the pytest
@@ -860,6 +867,22 @@ def _j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
     )
+
+
+def _sp_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over events (day-number × user_id): the value
+    write_zorder clusters files by. Bounds are computed (min/max
+    pre-scan broadcast) so the driver check covers that path too; the
+    interleave SQL in the oracle is GENERATED from the same _zterms
+    enumeration as the Spark column (operators/layout.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))
+        ).alias("day_i"),
+        "user_id",
+    )
+    return with_zvalue(ev, ["day_i", "user_id"]).select("event_id", "zval")
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2412,6 +2435,24 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN r USING (source)
             WHERE ('0x' || substr(md5('mix0_' || doc_id::VARCHAR),
                                   1, 12))::BIGINT % 10000 < rate_bp
+        """,
+        "sp_zorder": f"""
+            WITH base AS (
+              SELECT event_id,
+                     date_diff('day', DATE '2024-01-01', cast(ts as date))
+                       AS day_i,
+                     user_id
+              FROM events),
+            b AS (SELECT min(day_i) lo0, max(day_i) hi0,
+                         min(user_id) lo1, max(user_id) hi1 FROM base),
+            q AS (SELECT event_id,
+                   cast((day_i - lo0) * {(1 << ZBITS) - 1}
+                        // greatest(hi0 - lo0, 1) as bigint) AS _q0,
+                   cast((user_id - lo1) * {(1 << ZBITS) - 1}
+                        // greatest(hi1 - lo1, 1) as bigint) AS _q1
+                  FROM base, b)
+            SELECT event_id, ({zvalue_sql(["_q0", "_q1"], ZBITS)}) AS zval
+            FROM q
         """,
         "sp_epoch_shuffle": """
             SELECT doc_id,
