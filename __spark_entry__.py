@@ -264,6 +264,7 @@ _VALIDATION_PRIORITY = [
     "w_rank_funcs",
     "j_full_outer",
     "sp_zorder",
+    "p_unpivot",
 ]
 
 
@@ -689,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rank_funcs": _w_rank_funcs,
         "j_full_outer": _j_full_outer,
         "sp_zorder": _sp_zorder,
+        "p_unpivot": _p_unpivot,
         # -- extraction pipeline (synthesized pages input; oracles inline
         #    the pure-Python kernel's outputs over the same deterministic
         #    corpus — the kernel IS the spec, same oracle as the pytest
@@ -867,6 +869,24 @@ def _j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
     )
+
+
+def _p_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) of the four lineitem measures — ONE
+    scan via Spark's Expand node where the naive form (and the DuckDB
+    oracle) is a 4-branch UNION ALL re-scanning the table per measure.
+    Measures are exact 2-dp doubles, so the decimal(18,2) cast is
+    lossless on both engines (the money recipe)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-02-01")
+    )
+    m = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in m],
+    ).unpivot(["l_orderkey", "l_linenumber"], m, "measure", "val")
 
 
 def _sp_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2435,6 +2455,22 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN r USING (source)
             WHERE ('0x' || substr(md5('mix0_' || doc_id::VARCHAR),
                                   1, 12))::BIGINT % 10000 < rate_bp
+        """,
+        "p_unpivot": """
+            WITH s AS (SELECT * FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                         AND l_shipdate <  TIMESTAMP '1995-02-01')
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   cast(l_quantity as decimal(18,2)) AS val FROM s
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   cast(l_extendedprice as decimal(18,2)) FROM s
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   cast(l_discount as decimal(18,2)) FROM s
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   cast(l_tax as decimal(18,2)) FROM s
         """,
         "sp_zorder": f"""
             WITH base AS (
