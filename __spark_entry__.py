@@ -96,6 +96,7 @@ from ocr_pipeline_spark.operators.splits import (
 )
 from ocr_pipeline_spark.operators.layout import (
     ZBITS,
+    quantize_case_sql,
     with_zvalue,
     zvalue_sql,
 )
@@ -885,16 +886,17 @@ def _p_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        *[F.col(c).cast("decimal(18,2)").alias(c) for c in m],
+        *[_dec(c).alias(c) for c in m],
     ).unpivot(["l_orderkey", "l_linenumber"], m, "measure", "val")
 
 
 def _sp_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key over events (day-number × user_id): the value
     write_zorder clusters files by. Bounds are computed (min/max
-    pre-scan broadcast) so the driver check covers that path too; the
-    interleave SQL in the oracle is GENERATED from the same _zterms
-    enumeration as the Spark column (operators/layout.py)."""
+    pre-scan broadcast) so the driver check covers that path too; both
+    the quantize CASE and the interleave SQL in the oracle are
+    GENERATED from the same builders the Spark column uses
+    (operators/layout.py quantize_case_sql / _zterms)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         F.datediff(
@@ -2482,10 +2484,10 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT min(day_i) lo0, max(day_i) hi0,
                          min(user_id) lo1, max(user_id) hi1 FROM base),
             q AS (SELECT event_id,
-                   cast((day_i - lo0) * {(1 << ZBITS) - 1}
-                        // greatest(hi0 - lo0, 1) as bigint) AS _q0,
-                   cast((user_id - lo1) * {(1 << ZBITS) - 1}
-                        // greatest(hi1 - lo1, 1) as bigint) AS _q1
+                   cast({quantize_case_sql("day_i", "lo0", "hi0", ZBITS, div="//")}
+                        as bigint) AS _q0,
+                   cast({quantize_case_sql("user_id", "lo1", "hi1", ZBITS, div="//")}
+                        as bigint) AS _q1
                   FROM base, b)
             SELECT event_id, ({zvalue_sql(["_q0", "_q1"], ZBITS)}) AS zval
             FROM q

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "zvalue",
     "zvalue_sql",
+    "quantize_case_sql",
     "with_zvalue",
     "write_zorder",
     "ZBITS",
@@ -51,12 +52,25 @@ def _zterms(k: int, bits: int) -> list[tuple[int, int, int]]:
     return [(c, i, i * k + c) for c in range(k) for i in range(bits)]
 
 
+def _check_width(k: int, bits: int) -> None:
+    # k*bits must fit the POSITIVE range of an int64: Spark's shiftleft
+    # silently masks shift amounts mod 64 (Java semantics) while DuckDB
+    # raises, so an oversized config would give garbage on one engine
+    # and an error on the other; and bit 63 would make z negative,
+    # breaking Morton ordering. Fail loudly instead.
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} cols × {bits} bits = {k * bits} z-bits; max is 63"
+        )
+
+
 def zvalue(qcols: list[Column], bits: int = ZBITS) -> Column:
     """Morton interleave of ALREADY-quantized long columns (each in
     [0, 2^bits)). Plain shift/mask/or fold — whole-stage codegen, no
     Python. Callers must pass staged column REFERENCES (each input is
     referenced ``bits`` times; Catalyst has no logical CSE, but a
     col-ref re-read is free)."""
+    _check_width(len(qcols), bits)
     z: Column | None = None
     for c, i, shift in _zterms(len(qcols), bits):
         term = F.shiftleft(F.shiftright(qcols[c], i).bitwiseAND(F.lit(1)), shift)
@@ -69,11 +83,31 @@ def zvalue_sql(qnames: list[str], bits: int = ZBITS) -> str:
     """DuckDB expression computing the same z-value over bigint columns
     named ``qnames`` — generated from the same :func:`_zterms`
     enumeration as :func:`zvalue`."""
+    _check_width(len(qnames), bits)
     terms = [
         f"((({qnames[c]} >> {i}) & 1) << {shift})"
         for c, i, shift in _zterms(len(qnames), bits)
     ]
     return " | ".join(terms)
+
+
+def quantize_case_sql(
+    c: str, lo: str, hi: str, bits: int = ZBITS, div: str = "div"
+) -> str:
+    """Shared quantize expression (SQL text) for the computed-bounds
+    path — multiply-first for spans where (span · mask) fits int64,
+    divide-first (overflow-free, ~2^bits buckets) beyond. One generator
+    for both engines: Spark consumes it with ``div='div'``, the DuckDB
+    oracle with ``div='//'`` — same literals, same branch predicate."""
+    mask = (1 << bits) - 1
+    mul_max = (1 << 62) // mask
+    span = f"greatest({hi} - {lo}, 1)"
+    return (
+        f"CASE WHEN {span} <= {mul_max} "
+        f"THEN (cast({c} as bigint) - {lo}) * {mask} {div} {span} "
+        f"ELSE (cast({c} as bigint) - {lo}) {div} "
+        f"({span} {div} {mask + 1} + 1) END"
+    )
 
 
 def with_zvalue(
@@ -90,32 +124,50 @@ def with_zvalue(
 
     quantized_c = ((c − lo_c) · (2^bits − 1)) div max(hi_c − lo_c, 1),
     all bigint (integral ``div``, never float — a 53-bit mantissa can
-    flip a boundary value; same rule as splits.pack_sequences). Bounds
+    flip a boundary value; same rule as splits.pack_sequences). Spans
+    wider than 2^62 div mask would overflow that multiply (ANSI mode
+    aborts the job), so wide domains — snowflake ids, epoch-micros —
+    switch to the divide-first form (c − lo) div ceil-step, which is
+    overflow-free and still yields ~2^bits balanced buckets. Bounds
     default to a min/max pre-scan broadcast back as a 1-row scalar
-    join; pass ``bounds=[(lo, hi), ...]`` to skip that scan."""
+    join; pass ``bounds=[(lo, hi), ...]`` to skip that scan — explicit
+    bounds additionally CLAMP to [0, mask], since a straggler outside
+    the declared domain would otherwise overflow into other columns'
+    interleave bits and silently wreck the per-file bounding boxes."""
+    _check_width(len(cols), bits)
+    reserved = {out} | {
+        n for i in range(len(cols)) for n in (f"_q{i}", f"_lo{i}", f"_hi{i}")
+    }
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"input columns collide with internal names: {clash}")
     mask = (1 << bits) - 1
+    mul_max = (1 << 62) // mask  # largest span where (span·mask) < 2^63
     if bounds is not None:
         if len(bounds) != len(cols):
             raise ValueError("bounds must match cols 1:1")
         j = df
-        lohi = {i: (int(lo), int(hi)) for i, (lo, hi) in enumerate(bounds)}
-        qexprs = [
-            F.expr(
-                f"(cast({c} as bigint) - {lohi[i][0]}) * {mask} "
-                f"div greatest({lohi[i][1]} - {lohi[i][0]}, 1)"
-            ).alias(f"_q{i}")
-            for i, c in enumerate(cols)
-        ]
+        qexprs = []
+        for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+            lo, hi = int(lo), int(hi)
+            span = max(hi - lo, 1)
+            if span <= mul_max:
+                q = f"(cast({c} as bigint) - {lo}) * {mask} div {span}"
+            else:
+                q = f"(cast({c} as bigint) - {lo}) div {span // (mask + 1) + 1}"
+            qexprs.append(
+                F.expr(f"least(greatest({q}, 0), {mask})").alias(f"_q{i}")
+            )
     else:
         aggs = []
         for i, c in enumerate(cols):
             aggs.append(F.min(c).cast("bigint").alias(f"_lo{i}"))
             aggs.append(F.max(c).cast("bigint").alias(f"_hi{i}"))
         j = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        # true min/max bounds ⇒ already in [0, mask], no clamp needed
         qexprs = [
             F.expr(
-                f"(cast({c} as bigint) - _lo{i}) * {mask} "
-                f"div greatest(_hi{i} - _lo{i}, 1)"
+                quantize_case_sql(c, f"_lo{i}", f"_hi{i}", bits)
             ).alias(f"_q{i}")
             for i, c in enumerate(cols)
         ]

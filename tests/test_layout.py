@@ -153,3 +153,53 @@ def test_zvalue_sql_term_count():
 def test_bounds_arity_checked(grid_df):
     with pytest.raises(ValueError):
         with_zvalue(grid_df, ["a", "b"], bounds=[(0, 1)])
+
+
+def test_width_guard(grid_df):
+    """Spark shiftleft masks shifts mod 64 (silently wrong) where
+    DuckDB raises — configs past 63 z-bits must fail loudly instead."""
+    with pytest.raises(ValueError, match="63"):
+        with_zvalue(grid_df, ["a", "b"], bits=32)
+    with pytest.raises(ValueError, match="63"):
+        zvalue_sql(["q0", "q1", "q2", "q3", "q4"], 16)
+
+
+def test_explicit_bounds_clamp(spark):
+    """Stragglers outside declared bounds must clamp to the edge cells,
+    never overflow into other columns' interleave bits."""
+    df = spark.createDataFrame(
+        [(1, -50, 5), (2, 500, 5), (3, 100, 5)], "id long, a long, b long"
+    )
+    got = {
+        r["id"]: r["zval"]
+        for r in with_zvalue(df, ["a", "b"], bits=8, bounds=[(0, 255), (0, 255)]).collect()
+    }
+    lo = _morton_ref([0, 5], 8)
+    hi = _morton_ref([255, 5], 8)
+    assert got[1] == lo and got[2] == hi
+    assert got[1] < got[3] < got[2]
+
+
+def test_wide_span_divide_first(spark):
+    """Spans past 2^46 switch to the overflow-free divide-first form on
+    BOTH bounds paths (ANSI mode would abort the multiply)."""
+    lo, hi = 0, 1 << 55
+    vals = [0, 1 << 40, 1 << 54, hi]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, a long")
+    step = ((hi - lo) // (1 << ZBITS)) + 1
+    want = {i: _morton_ref([(v - lo) // step], ZBITS) for i, v in enumerate(vals)}
+    for kwargs in ({"bounds": [(lo, hi)]}, {}):
+        got = {
+            r["id"]: r["zval"]
+            for r in with_zvalue(df, ["a"], **kwargs).collect()
+        }
+        assert got == want, kwargs
+
+
+def test_internal_name_collision_checked(spark):
+    df = spark.createDataFrame([(1, 2)], "_q0 long, a long")
+    with pytest.raises(ValueError, match="_q0"):
+        with_zvalue(df, ["a"])
+    df2 = spark.createDataFrame([(1, 2)], "zval long, a long")
+    with pytest.raises(ValueError, match="zval"):
+        with_zvalue(df2, ["a"])
