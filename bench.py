@@ -64,6 +64,8 @@ EXTENDED = [
     "a_rollup_stats",
     "ts_nfc",
     "ts_langid_ngram",
+    "sp_zorder",
+    "p_unpivot",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
