@@ -224,48 +224,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # previously-validated, since-unchanged queries keep their prior-round rows
 # and can safely sit past the cutoff.
 _VALIDATION_PRIORITY = [
-    # never driver-validated as of r2 (oracles registered in r2)
-    "x_extract_fused",
-    "x_extract_blocks",
-    "x_extract_regroup",
-    "x_refine_sentences",
-    "x_debug_overlay",
-    "x_tsv_lines",
-    # rewritten in r2 after a vacuous r1 row
-    "set_view_not_error",
-    # last green row is r1 (fell past the r2 cutoff, definition unchanged)
-    "a6_metrics_rollup",
-    "a_percentiles",
-    "w_moving_avg",
-    "p_json_extract",
-    # new in round 3 — never driver-run yet
-    "ct_contamination",
-    "bpe_merges",
-    "bpe_encode",
-    "dd_chunk_dedup",
+    # r3 hash-red (oracle output-type fix landed in r4: HUGEINT/DECIMAL
+    # output columns cast to bigint/double — values were already equal;
+    # pinned by tests/test_entry.py::test_oracle_output_dtypes)
     "qc_bucket_weights",
     "qc_scores",
     "qc_top_fraction",
-    "a_rollup_stats",
-    "sp_epoch_shuffle",
     "sp_mix_budget",
-    "meta_profile",
-    "sk_heavy_hitters",
-    "sim_dup_clusters",
-    "x_diff_runs",
-    "ml_kmeans_cells",
-    "ts_nfc",
-    "ts_langid_ngram",
-    "p_hot_domains",
-    "sp_pack_bpe",
-    "meta_report",
-    "w_lead_lag",
-    "set_common_users",
-    "a_pivot_daily",
-    "w_rank_funcs",
-    "j_full_outer",
-    "sp_zorder",
     "p_unpivot",
+    # definition changed in r4 (HOF trigram scan → broadcast-join lookup)
+    "ts_langid_ngram",
+    # new in round 4 — never driver-run yet
+    # (slot for r4 additions; keep above the stale-r2 block)
+    # last green row is r2 (fell past r3's 50-row cap, definitions
+    # unchanged) — rotated to the front so every query has a green row
+    # in r3 ∪ r4
+    "a1_explode_tokens",
+    "ts_token_stats",
+    "ts_quality_flags",
+    "ts_langid",
+    "ts_langid_multi",
+    "ts_repetition",
+    "sk_distinct_tokens",
+    "ts_tfidf_top",
+    "ts_pii_scrub",
+    "dd_exact",
+    "dd_minhash",
+    "dd_simhash",
+    "dd_simhash_pairs",
+    "dd_lsh_pairs",
+    "dd_simhash_clusters",
+    "dd_jaccard_bucket",
+    "fp_rolling",
+    "fp_winnow",
+    "sim_topk_bruteforce",
+    "sim_near_dup",
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "sim_topk_arrow",
+    "dd_dup_clusters",
+    "mm_decode_meta",
+    "mm_frames",
+    "mm_features",
+    "cur_exact_keep",
+    "cur_full_keep",
+    "cur_incremental",
+    "st_window_counts",
+    "url_canonical",
+    "sp_hash_split",
+    "sp_stratified",
+    "sp_pack",
+    "t_asof_last_click",
+    "t_interval_clicks",
+    "t_sessions",
 ]
 
 
@@ -877,17 +888,24 @@ def _p_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan via Spark's Expand node where the naive form (and the DuckDB
     oracle) is a 4-branch UNION ALL re-scanning the table per measure.
     Measures are exact 2-dp doubles, so the decimal(18,2) cast is
-    lossless on both engines (the money recipe)."""
+    lossless on both engines (the money recipe); the OUTPUT column is
+    cast back to double on both sides because a raw DECIMAL output
+    column breaks the driver's value hash (oracle dtype contract,
+    pinned by tests/test_entry.py::test_oracle_output_dtypes)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01")
         & (F.col("l_shipdate") < "1995-02-01")
     )
     m = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        *[_dec(c).alias(c) for c in m],
-    ).unpivot(["l_orderkey", "l_linenumber"], m, "measure", "val")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[_dec(c).alias(c) for c in m],
+        )
+        .unpivot(["l_orderkey", "l_linenumber"], m, "measure", "val")
+        .withColumn("val", F.col("val").cast("double"))
+    )
 
 
 def _sp_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2065,8 +2083,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
                         as bigint) AS n_quality,
                    cast(count(*) as bigint) AS n_total,
-                   (1000000 * (sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
-                               + 1)) // (count(*) + 2) AS weight
+                   cast((1000000 * (sum(CASE WHEN is_quality THEN 1 ELSE 0 END)
+                               + 1)) // (count(*) + 2) as bigint) AS weight
             FROM b GROUP BY bucket
         """,
         "qc_scores": f"""
@@ -2077,7 +2095,7 @@ def oracle_sql() -> dict[str, str]:
                                  END) + 1)) // (count(*) + 2) AS weight
               FROM b GROUP BY bucket)
             SELECT doc_id,
-                   sum(weight) // count(*) AS quality_score,
+                   cast(sum(weight) // count(*) as bigint) AS quality_score,
                    cast(count(*) as bigint) AS n_scored_tokens,
                    bool_or(is_quality) AS is_quality
             FROM b JOIN w USING (bucket)
@@ -2091,7 +2109,8 @@ def oracle_sql() -> dict[str, str]:
                                  END) + 1)) // (count(*) + 2) AS weight
               FROM b GROUP BY bucket),
             s AS (
-              SELECT doc_id, sum(weight) // count(*) AS quality_score
+              SELECT doc_id,
+                     cast(sum(weight) // count(*) as bigint) AS quality_score
               FROM b JOIN w USING (bucket)
               GROUP BY doc_id)
             SELECT doc_id, quality_score
@@ -2449,8 +2468,8 @@ def oracle_sql() -> dict[str, str]:
                                          ('src2', 2000), ('src3', 10000))
                    AS t(source, share_bp)),
             r AS (SELECT d.source,
-                         least(10000, (2000 * share_bp) // sum(n_toks))
-                           AS rate_bp
+                         cast(least(10000, (2000 * share_bp) // sum(n_toks))
+                              as bigint) AS rate_bp
                   FROM d JOIN sh USING (source)
                   GROUP BY d.source, share_bp)
             SELECT doc_id, source, n_toks, rate_bp
@@ -2463,16 +2482,20 @@ def oracle_sql() -> dict[str, str]:
                        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
                          AND l_shipdate <  TIMESTAMP '1995-02-01')
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
-                   cast(l_quantity as decimal(18,2)) AS val FROM s
+                   cast(cast(l_quantity as decimal(18,2)) as double) AS val
+            FROM s
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_extendedprice',
-                   cast(l_extendedprice as decimal(18,2)) FROM s
+                   cast(cast(l_extendedprice as decimal(18,2)) as double)
+            FROM s
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount',
-                   cast(l_discount as decimal(18,2)) FROM s
+                   cast(cast(l_discount as decimal(18,2)) as double)
+            FROM s
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_tax',
-                   cast(l_tax as decimal(18,2)) FROM s
+                   cast(cast(l_tax as decimal(18,2)) as double)
+            FROM s
         """,
         "sp_zorder": f"""
             WITH base AS (

@@ -112,6 +112,35 @@ def test_query_matches_oracle(spark, duck, name):
         pytest.fail(f"{name}: value mismatch, first diffs: {diff}")
 
 
+# Driver-hash-safe DuckDB output dtypes. HUGEINT (bare integer sum, or
+# `//` over one), DECIMAL, and UHUGEINT hash differently from Spark's
+# bigint/double in the driver's value comparison even when every value
+# is identical — the exact bug class that cost five red CORRECTNESS_r03
+# rows. The local gate can't catch it (_norm_val coerces Decimal before
+# comparing), so the contract is pinned at the type level here.
+_ALLOWED_ORACLE_DTYPES = {
+    "VARCHAR", "INTEGER", "BIGINT", "DOUBLE", "BOOLEAN", "DATE",
+    "TIMESTAMP",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_dtypes(duck, name):
+    """Every oracle output column must be a driver-hash-safe dtype.
+    DESCRIBE plans the query without executing it, so this covers all
+    88 oracles in seconds. If an aggregate legitimately needs a wider
+    intermediate, cast the OUTPUT column (bigint for counts/integral
+    division, double for money via the lossless decimal(18,2) recipe).
+    """
+    for cname, ctype, *_ in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall():
+        base = ctype[:-2] if ctype.endswith("[]") else ctype
+        assert base in _ALLOWED_ORACLE_DTYPES, (
+            f"{name}.{cname} is {ctype} — HUGEINT/DECIMAL/etc. breaks "
+            f"the driver hash; cast the output column (CLAUDE.md parity "
+            f"recipes)"
+        )
+
+
 def test_every_query_is_oracled():
     """Pin full oracle coverage: a new queries() entry cannot silently
     ship without its DuckDB value check (rows-only queries would need
