@@ -504,10 +504,25 @@ def lang_id_ngram(
     ``lang_id_multi`` — n-gram profiles catch inflected/compounded
     forms whole-token stopword matching misses.
 
-    Scan-local staged projections: the trigram array is materialized
-    once (no CSE), each profile check is a vectorized membership
-    filter. Integer evidence only."""
+    Execution: the trigram array is materialized once (staged
+    projection, no CSE), exploded with ``explode_outer`` (the
+    InferFiltersFromGenerate rule would otherwise push the whole
+    padded/transform tree into a re-inlined Filter), LEFT-joined
+    against a ~120-row broadcast (trigram, lang) lookup, and
+    conditional-counted per language under one partial-aggregated
+    groupBy — only (doc_id, 4 bigint counts) cross the exchange.
+    The left join keeps zero-hit and empty-text docs alive (their
+    explode_outer row carries a NULL trigram / NULL lang), so no
+    second scan of ``docs`` is needed to restore them. This replaces
+    the original per-trigram higher-order-function membership scan
+    (~120 interpreted CodegenFallback comparisons per trigram,
+    BASELINE.md r3 note) with hash-join + count that stay inside
+    whole-stage codegen. Integer evidence only."""
     sets = lang_trigram_sets()
+    lookup = docs.sparkSession.createDataFrame(
+        [(g, lang) for lang in langs for g in sets[lang]],
+        "_tri string, _lang string",
+    )
     padded = F.concat(F.lit(" "), norm_text(F.col(text_col)), F.lit(" "))
     staged = docs.select("doc_id", padded.alias("_p"))
     tri = F.when(
@@ -517,16 +532,21 @@ def lang_id_ngram(
             lambda i: F.substr(F.col("_p"), i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged2 = staged.select("doc_id", tri.alias("_tri"))
-    hit_cols = []
-    for lang in langs:
-        arr = F.array(*[F.lit(g) for g in sets[lang]])
-        hit_cols.append(
-            F.size(F.filter(F.col("_tri"), _in_arr(arr)))
-            .cast("long")
-            .alias(f"hits_{lang}")
+    exploded = staged.select(
+        "doc_id", F.explode_outer(tri).alias("_tri")
+    )
+    staged3 = (
+        exploded.join(F.broadcast(lookup), "_tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("_lang") == lang, 1).otherwise(0)
+                ).alias(f"hits_{lang}")
+                for lang in langs
+            ]
         )
-    staged3 = staged2.select("doc_id", *hit_cols)
+    )
     best = F.array_max(
         F.array(
             *[

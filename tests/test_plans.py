@@ -375,19 +375,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_right")
 
 
-def test_lang_id_ngram_is_narrow_and_staged(spark):
-    """lang_id_ngram's plan contract: pure scan-local (no Exchange),
-    and the trigram array is built ONCE — the per-language membership
-    filters reference the staged _tri column instead of re-inlining
-    the sequence/substr construction per profile (the no-CSE trap)."""
+def test_lang_id_ngram_is_broadcast_lookup(spark):
+    """lang_id_ngram's plan contract after the r4 codegen rewrite: the
+    trigram array is built ONCE (sequence/substr staged, not re-inlined
+    per profile — the no-CSE trap), the ~120-row (trigram, lang) lookup
+    joins as a BROADCAST (no shuffle of the exploded trigram stream),
+    and exactly one Exchange remains — the partial-aggregated groupBy
+    carrying (doc_id, 4 bigint counts). The pre-r4 form was Exchange-
+    free but paid ~120 interpreted CodegenFallback comparisons per
+    trigram; the hash-join form stays in whole-stage codegen."""
     from ocr_pipeline_spark.operators.textstats import lang_id_ngram
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     df = lang_id_ngram(docs)
     plan = _plan(df)
-    assert "Exchange" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial aggregation fires before the exchange (map-side combine:
+    # only one row per (partition, doc_id) crosses)
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan, plan
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("sequence(1,") == 1, opt
+    # the higher-order membership filter is gone — no per-language
+    # array_contains/exists chain in the optimized plan
+    assert "exists(" not in opt and "filter(_tri" not in opt, opt
 
 
 def test_mix_budget_totals_broadcast_no_text(spark):
