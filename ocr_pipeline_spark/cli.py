@@ -149,6 +149,15 @@ def _cmd_profile(args) -> None:
         )
 
 
+def _cmd_report(args) -> None:
+    from .operators.profiling import corpus_report
+
+    spark = get_spark("cli-report", cores=args.cores)
+    df = spark.read.parquet(args.input)
+    for r in corpus_report(df, text_col=args.text_col).collect():
+        print(f"{r['metric']}\t{r['value']}")
+
+
 def _cmd_warc(args) -> None:
     from .sources.warc import read_warc
 
@@ -245,6 +254,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True)
     p.set_defaults(fn=_cmd_profile)
+
+    p = sub.add_parser(
+        "report", help="dataset-card rollup of a documents table"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=_cmd_report)
 
     p = sub.add_parser("warc", help="ingest WARC archives into a pages table")
     p.add_argument("--input", required=True)

@@ -20,6 +20,7 @@ def test_parser_subcommands():
         ["tokenize", "--input", "a", "--out", "b"],
         ["score", "--input", "a", "--out", "b"],
         ["profile", "--input", "a"],
+        ["report", "--input", "a"],
         ["stream-curate", "--input", "a", "--out", "b",
          "--checkpoint", "c"],
     ):
@@ -82,6 +83,20 @@ def test_profile_prints_columns(spark, capfd):
     for col in ("doc_id", "text", "lang", "source", "n_chars"):
         assert f"{col}\t" in out
     assert "rows=500" in out
+
+
+def test_report_prints_dataset_card(spark, capfd):
+    main(["report", "--input", "/root/testdata/sf0.001/documents.parquet"])
+    out = capfd.readouterr().out
+    lines = dict(
+        l.split("\t") for l in out.strip().splitlines() if "\t" in l
+    )
+    for metric in (
+        "n_docs", "n_tokens", "n_quality", "n_exact_dup_docs",
+        "n_langs", "n_sources",
+    ):
+        assert metric in lines, out
+    assert lines["n_docs"] == "500"
 
 
 def test_stream_curate_cli_end_to_end(spark, tmp_path):
