@@ -85,13 +85,16 @@ from ocr_pipeline_spark.operators.pii import (
 from ocr_pipeline_spark.operators.sketch import (
     cms_estimate,
     cms_state,
+    hist_quantiles,
     kmv_distinct,
 )
 from ocr_pipeline_spark.operators.splits import (
+    domain_cap,
     epoch_shuffle,
     hash_split,
     mix_token_budget,
     pack_sequences,
+    reservoir_per_stratum,
     stratified_sample,
 )
 from ocr_pipeline_spark.operators.layout import (
@@ -235,7 +238,10 @@ _VALIDATION_PRIORITY = [
     # definition changed in r4 (HOF trigram scan → broadcast-join lookup)
     "ts_langid_ngram",
     # new in round 4 — never driver-run yet
-    # (slot for r4 additions; keep above the stale-r2 block)
+    "sp_reservoir",
+    "cur_domain_cap",
+    "sk_quantiles",
+    "a_grouping_sets",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -345,6 +351,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "tok",
             ),
             ["the", "data", "query", "zzz-not-in-corpus"],
+        ),
+        # mergeable fixed-bin histogram quantiles (the deterministic
+        # percentile_approx replacement — engine-portable integer math;
+        # ≤64 (grp,bin,count) cells per lang cross the shuffle)
+        "sk_quantiles": lambda s, d: hist_quantiles(
+            _t(s, d, "documents"), "lang", "n_chars", bins=64
         ),
         # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
         "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
@@ -606,6 +618,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rates={"en": 0.5, "de": 1.0, "fr": 0.25},
             default_rate=0.1,
         ),
+        # deterministic fixed-SIZE per-stratum sample (exactly k per
+        # lang; md5-rank membership — rerun/append-stable, nested in k)
+        "sp_reservoir": lambda s, d: reservoir_per_stratum(
+            _t(s, d, "documents").select("doc_id", "lang"),
+            id_col="doc_id",
+            strata_col="lang",
+            k=25,
+        ),
+        # per-domain quota (anti-domination gate): keep the top-30 docs
+        # per source by n_chars, id tie-break — C4/Gopher-style cap
+        "cur_domain_cap": lambda s, d: domain_cap(
+            _t(s, d, "documents"),
+            domain_col="source",
+            cap=30,
+            order_col="n_chars",
+            id_col="doc_id",
+        ),
         # sequence packing: (bin_idx, bin_offset) layout of docs into
         # 512-token training sequences, sharded by lang
         "sp_pack": lambda s, d: pack_sequences(
@@ -679,6 +708,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as 2*grouping(lang)+grouping(source)
         "a_rollup_stats": lambda s, d: _t(s, d, "documents")
         .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "gid",
+            "n_docs",
+            "sum_chars",
+        ),
+        # full CUBE over (lang, source) — every grouping-set combination
+        # in one Expand pass (the ROLLUP sibling above covers the
+        # hierarchy-only sets); same first-column-MSB grouping_id recipe
+        "a_grouping_sets": lambda s, d: _t(s, d, "documents")
+        .cube("lang", "source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("sum_chars"),
@@ -2191,6 +2237,37 @@ def oracle_sql() -> dict[str, str]:
             + "]"
         ),
         "sk_heavy_hitters": _cms_oracle(),
+        "sk_quantiles": """
+            WITH v AS (SELECT lang AS grp, n_chars AS v FROM documents
+                       WHERE n_chars IS NOT NULL),
+            b AS (SELECT grp, min(v) AS lo, max(v) AS hi
+                  FROM v GROUP BY grp),
+            wd AS (SELECT grp, lo, (hi - lo + 64) // 64 AS w FROM b),
+            binned AS (SELECT v.grp, lo, w, (v - lo) // w AS bin
+                       FROM v JOIN wd USING (grp)),
+            state AS (SELECT grp, lo, w, bin, count(*) AS cnt
+                      FROM binned GROUP BY grp, lo, w, bin),
+            cdf AS (SELECT grp, lo, w, bin,
+                           sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                           sum(cnt) OVER (PARTITION BY grp) AS n
+                    FROM state)
+            SELECT grp AS lang,
+                   cast(max(lo) as bigint) AS lo_value,
+                   cast(max(w) as bigint) AS bin_width,
+                   cast(max(n) as bigint) AS n,
+                   cast(max(lo) + min(CASE WHEN cum * 10000 >= 5000 * n
+                                      THEN bin END) * max(w) as bigint)
+                     AS est_p50,
+                   cast(max(lo) + min(CASE WHEN cum * 10000 >= 9000 * n
+                                      THEN bin END) * max(w) as bigint)
+                     AS est_p90,
+                   cast(max(lo) + min(CASE WHEN cum * 10000 >= 9900 * n
+                                      THEN bin END) * max(w) as bigint)
+                     AS est_p99
+            FROM cdf GROUP BY grp
+        """,
         "sk_distinct_tokens": f"""
             WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
             h AS (SELECT DISTINCT lang AS grp,
@@ -2534,6 +2611,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
                                 WHEN 'fr' THEN 2500 ELSE 1000 END
         """,
+        "sp_reservoir": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     cast(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('resv0_' ||
+                                 doc_id::VARCHAR), 1, 12))::BIGINT,
+                                doc_id)
+                       as bigint) AS rk
+              FROM documents)
+            WHERE rk <= 25
+        """,
+        "cur_domain_cap": """
+            SELECT doc_id, source, n_chars, rk FROM (
+              SELECT doc_id, source, n_chars,
+                     cast(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) as bigint) AS rk
+              FROM documents)
+            WHERE rk <= 30
+        """,
         "sp_pack": f"""
             WITH t AS (SELECT doc_id, lang AS shard,
                               len({_TOKS})::BIGINT AS n_tokens
@@ -2678,6 +2776,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(n_chars) as bigint) AS sum_chars
             FROM documents
             GROUP BY ROLLUP (lang, source)
+        """,
+        "a_grouping_sets": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   cast(2 * grouping(lang) + grouping(source) as bigint)
+                     AS gid,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(n_chars) as bigint) AS sum_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
         """,
         "a6_metrics_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,

@@ -41,6 +41,7 @@ HASH_RANGE = 1 << 48
 __all__ = [
     "cms_estimate",
     "cms_state",
+    "hist_quantiles",
     "kmv_distinct",
     "kmv_state",
     "kmv_from_state",
@@ -215,4 +216,94 @@ def cms_estimate(
                 "est"
             )
         )
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 64,
+    ps_bp: tuple[int, ...] = (5000, 9000, 9900),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles — the deterministic,
+    engine-portable alternative to ``percentile_approx`` (Spark) /
+    ``approx_quantile`` (DuckDB), whose sketches are engine-specific and
+    uncheckable across engines (same reason KMV exists beside HLL++).
+    Every distributed profiler's quantile column is some variant of this:
+    bucket the value space, count per bucket, read the quantile off the
+    cumulative histogram.
+
+    Integer math end to end: per-group bounds (lo, hi) from a pre-scan,
+    bin width w = (hi − lo + bins) div bins (ceil — DIVIDE-first, no
+    span×bins multiply to overflow; same hazard class the Z-order
+    quantizer handles in layout.py), bin = (v − lo) div w ∈ [0, bins),
+    and quantile-at-p (p in basis points) = lo + b_p·w where b_p is the
+    first bin whose cumulative count reaches ceil(p·n/10⁴) — compared as
+    cum·10⁴ ≥ p·n so no ceil/float appears. Estimates are bin LOWER
+    bounds: error ≤ w, exact when the group's span < bins. NULLs are
+    excluded (not a value; parity rule).
+
+    Output: (group, n, lo_value, bin_width, est_p{p/100:g} per p) —
+    all bigint, value-checked by the DuckDB oracle.
+
+    Scale + mergeability: the value column scans pruned; the only
+    shuffles carry (grp, min/max partials) then (grp, bin, count) —
+    ≤ ``bins`` cells per group after map-side combine. States merge by
+    cellwise addition under FIXED (lo, w), so partitions / days /
+    cluster nodes combine without rescanning; re-binning is only needed
+    when merged bounds widen (the standard fixed-range histogram
+    contract). The bounds join is a broadcast (one row per group)."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2: {bins}")
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    bounds = vals.groupBy("grp").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = vals.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "lo",
+        F.expr(f"(hi - lo + {bins}) div {bins}").alias("w"),
+        "v",
+    ).select(
+        "grp", "lo", "w", F.expr("(v - lo) div w").alias("bin")
+    )
+    state = binned.groupBy("grp", "lo", "w", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum_w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("grp")
+    cdf = state.select(
+        "grp",
+        "lo",
+        "w",
+        "bin",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for p in ps_bp:
+        b_p = F.min(
+            F.when(F.col("cum") * 10_000 >= F.lit(p) * F.col("n"), F.col("bin"))
+        )
+        aggs.append(
+            (F.max("lo") + b_p * F.max("w"))
+            .cast("long")
+            .alias(f"est_p{p / 100:g}".replace(".", "_"))
+        )
+    return (
+        cdf.groupBy("grp")
+        .agg(
+            F.max("lo").cast("long").alias("lo_value"),
+            F.max("w").cast("long").alias("bin_width"),
+            *aggs,
+        )
+        .withColumnRenamed("grp", group_col)
     )

@@ -27,6 +27,8 @@ __all__ = [
     "hash_split",
     "domain_split",
     "stratified_sample",
+    "reservoir_per_stratum",
+    "domain_cap",
     "pack_sequences",
 ]
 
@@ -100,6 +102,74 @@ def stratified_sample(
         else F.lit(int(round(default_rate * _MOD)))
     )
     return df.filter(bucket < thr)
+
+
+def reservoir_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    seed: str = "resv0",
+) -> DataFrame:
+    """Deterministic fixed-SIZE per-stratum sample — exactly ``k`` rows
+    per stratum (fewer if the stratum is smaller), the eval-set-carving
+    companion of rate-based ``stratified_sample``. Rank = the portable
+    48-bit md5 hash of the row id (id tie-break for the astronomically
+    unlikely collision), so membership is a pure function of row
+    identity: rerun/repartition/append-stable, and raising ``k`` later
+    only ADDS rows (nested samples, same property as the rate variant).
+
+    Scale shape: only (id, stratum, 48-bit hash) shorts cross the one
+    window exchange — project before ranking and rejoin payloads by id
+    downstream (CLAUDE.md shuffle rule). The window sorts each stratum
+    partition; strata counts are corpus-scale but per-stratum top-k
+    never needs the full sort to ship anywhere."""
+    h = _token_hash(
+        F.concat(F.lit(f"{seed}_"), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(id_col), F.col(strata_col), h.alias("_h")
+    )
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        base.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .drop("_h")
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-domain document quota: keep at most ``cap`` rows per domain,
+    preferring the highest ``order_col`` (quality score, token count)
+    with an id tie-break — the anti-domination gate every web corpus
+    ships (a handful of boilerplate-heavy hot domains would otherwise
+    swamp the token budget; C4/Gopher-style curation applies exactly
+    this cap after quality scoring).
+
+    Scale shape: same short-key window contract as
+    ``reservoir_per_stratum`` — (id, domain, order) only across the
+    exchange, payloads rejoin by id. Hot domains make this window
+    partition skewed by construction (that's what it's FOR), so at the
+    extreme — a single domain holding a double-digit share of the
+    corpus — pre-filter with the p_hot_domains pass and handle those
+    few domains with a TakeOrderedAndProject per domain instead; the
+    window form is right for the heavy midsection."""
+    base = df.select(
+        F.col(id_col), F.col(domain_col), F.col(order_col)
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        base.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
 
 
 def pack_sequences(

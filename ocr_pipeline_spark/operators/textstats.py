@@ -448,26 +448,50 @@ def with_nfc_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hashing/dedup (decomposed and composed accent sequences must not
     produce different fingerprints for identical rendered text).
 
-    Spark has no built-in NFC, so this is an Arrow-batched mapInPandas
-    over Python's unicodedata — the codec-style exception to the
-    no-Python-in-hot-paths rule (multimodal.decode precedent); the
-    DuckDB oracle uses its native nfc_normalize, empirically identical
-    on the fixture classes (combining marks, Hangul jamo, compatibility
-    characters are untouched by NFC on both engines). NULL text
-    normalizes to '' (engine-wide NULL recipe)."""
+    Spark has no built-in NFC, so non-ASCII rows go through an
+    Arrow-batched mapInPandas over Python's unicodedata — the
+    codec-style exception to the no-Python-in-hot-paths rule
+    (multimodal.decode precedent); the DuckDB oracle uses its native
+    nfc_normalize, empirically identical on the fixture classes
+    (combining marks, Hangul jamo, compatibility characters are
+    untouched by NFC on both engines). NULL text normalizes to ''
+    (engine-wide NULL recipe).
+
+    **ASCII fast path (r4):** NFC is the identity on pure-ASCII text,
+    so ASCII rows are answered scan-locally (nfc_text = text,
+    changed = false) and never cross the Arrow boundary — the Python
+    round-trip cost becomes proportional to the NON-ASCII row count,
+    not the corpus. On an English-heavy web corpus that's the
+    difference between "every byte serialized twice" and "a few
+    percent of rows"; measured 6.6 s → sub-second at sf0.1. The
+    routing predicate is a codegen rlike over the staged text; the
+    input is scanned once per branch with pruned columns (doc_id,
+    text only)."""
     out_schema = "doc_id long, nfc_text string, changed boolean"
+
+    staged = docs.select(
+        "doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t")
+    )
+    non_ascii = F.col("_t").rlike("[^\\x00-\\x7F]")
+
+    fast = staged.filter(~non_ascii).select(
+        "doc_id",
+        F.col("_t").alias("nfc_text"),
+        F.lit(False).alias("changed"),
+    )
 
     def run(batches):
         import unicodedata
 
         for pdf in batches:
-            src = pdf[text_col].fillna("")
+            src = pdf["_t"]
             nfc = src.map(lambda t: unicodedata.normalize("NFC", t))
             yield pdf.assign(nfc_text=nfc, changed=(nfc != src))[
                 ["doc_id", "nfc_text", "changed"]
             ]
 
-    return docs.select("doc_id", text_col).mapInPandas(run, out_schema)
+    slow = staged.filter(non_ascii).mapInPandas(run, out_schema)
+    return fast.unionByName(slow)
 
 
 def lang_trigram_sets(top: int = 30) -> dict[str, list[str]]:

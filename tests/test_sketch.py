@@ -127,3 +127,51 @@ def test_cms_states_merge_by_cellwise_sum(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_hist_quantiles_bounds_and_exact_small_span(spark):
+    import math
+    import random
+
+    from ocr_pipeline_spark.operators.sketch import hist_quantiles
+
+    rng = random.Random(7)
+    rows = [(("g1", rng.randrange(0, 100_000)) if i % 2 else
+             ("g2", rng.randrange(50, 90))) for i in range(4_000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r["grp"]: r
+        for r in hist_quantiles(df, "grp", "v", bins=64).collect()
+    }
+
+    by_grp: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        vals.sort()
+        r = out[g]
+        assert r["n"] == len(vals)
+        for p_bp, col in ((5000, "est_p50"), (9000, "est_p90"),
+                          (9900, "est_p99")):
+            exact = vals[math.ceil(p_bp * len(vals) / 10_000) - 1]
+            # estimate is the containing bin's LOWER bound
+            assert r[col] <= exact < r[col] + r["bin_width"], (
+                g, col, exact, r[col], r["bin_width"])
+    # span < bins → bin width 1 → exact quantiles
+    assert out["g2"]["bin_width"] == 1
+    g2 = sorted(v for g, v in rows if g == "g2")
+    assert out["g2"]["est_p50"] == g2[math.ceil(0.5 * len(g2)) - 1]
+
+
+def test_hist_quantiles_partition_invariance_and_nulls(spark):
+    from ocr_pipeline_spark.operators.sketch import hist_quantiles
+
+    df = spark.createDataFrame(
+        [("a", i * 3 % 1000 if i % 17 else None) for i in range(2_000)],
+        "grp string, v long",
+    )
+    a = sorted(hist_quantiles(df, "grp", "v").collect())
+    b = sorted(hist_quantiles(df.repartition(11), "grp", "v").collect())
+    assert a == b
+    # NULLs excluded from n
+    assert a[0]["n"] == df.filter(F.col("v").isNotNull()).count()

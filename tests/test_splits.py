@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.partitioning import domain_of
 from ocr_pipeline_spark.operators.splits import (
+    domain_cap,
     domain_split,
     hash_split,
+    reservoir_per_stratum,
     stratified_sample,
 )
 
@@ -71,6 +73,80 @@ def test_stratified_sample_rates_and_nesting(spark):
         ).collect()
     )
     assert small == again
+
+
+def test_reservoir_per_stratum_size_nesting_stability(spark):
+    docs = spark.range(9_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    # tiny stratum to exercise the fewer-than-k case
+    docs = docs.union(
+        spark.createDataFrame([(100_000, "ko")], "doc_id long, lang string")
+    )
+    out = reservoir_per_stratum(docs, "doc_id", "lang", k=50)
+    counts = {
+        r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()
+    }
+    assert counts == {"en": 50, "de": 50, "zh": 50, "ko": 1}
+    # nested: k=20 sample is a subset of k=50 (same seed)
+    small = set(
+        r["doc_id"]
+        for r in reservoir_per_stratum(docs, "doc_id", "lang", k=20).collect()
+    )
+    big = set(r["doc_id"] for r in out.collect())
+    assert small <= big and len(small) == 61
+    # rerun/repartition stability
+    again = set(
+        r["doc_id"]
+        for r in reservoir_per_stratum(
+            docs.repartition(7), "doc_id", "lang", k=50
+        ).collect()
+    )
+    assert big == again
+    # a different seed draws a different sample
+    other = set(
+        r["doc_id"]
+        for r in reservoir_per_stratum(
+            docs, "doc_id", "lang", k=50, seed="resv1"
+        ).collect()
+    )
+    assert other != big
+
+
+def test_domain_cap_quota_and_preference(spark):
+    docs = spark.createDataFrame(
+        [
+            (i, f"d{i % 4}", 1000 - i if i % 4 != 3 else 7)
+            for i in range(400)
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    out = domain_cap(docs, "source", cap=10, order_col="n_chars",
+                     id_col="doc_id")
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert counts == {f"d{i}": 10 for i in range(4)}
+    # keeps the HIGHEST order_col per domain (d0: ids 0,4,...,36)
+    d0 = sorted(
+        r["doc_id"] for r in out.filter(F.col("source") == "d0").collect()
+    )
+    assert d0 == [4 * i for i in range(10)]
+    # ties (d3: all n_chars=7) break by id — deterministic under rerun
+    d3a = sorted(
+        r["doc_id"] for r in out.filter(F.col("source") == "d3").collect()
+    )
+    assert d3a == [4 * i + 3 for i in range(10)]
+    # a domain under the cap keeps everything
+    small = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 6)], "doc_id long, source string, n_chars long"
+    )
+    assert domain_cap(small, "source", 10, "n_chars", "doc_id").count() == 2
 
 
 def test_domain_split_no_leakage(spark, pages_df):
