@@ -53,6 +53,7 @@ from ocr_pipeline_spark.operators.extraction import (
     segment_pages,
 )
 from ocr_pipeline_spark.operators.clustering import kmeans_assign
+from ocr_pipeline_spark.operators.lm import head_split, lm_surprisal
 from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
@@ -242,6 +243,8 @@ _VALIDATION_PRIORITY = [
     "cur_domain_cap",
     "sk_quantiles",
     "a_grouping_sets",
+    "lm_doc_surprisal",
+    "lm_head_split",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -380,6 +383,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents")
         ),
         "qc_scores": lambda s, d: quality_scores(_t(s, d, "documents")),
+        # -- unigram-LM surprisal scoring (operators/lm.py): the
+        #    CCNet/KenLM perplexity-filter stage in exact integer bits
+        #    (length(bin(...)) is a cross-engine-exact floor-log2)
+        "lm_doc_surprisal": lambda s, d: lm_surprisal(
+            _t(s, d, "documents")
+        ),
+        "lm_head_split": lambda s, d: head_split(
+            _t(s, d, "documents"), n_splits=3
+        ),
         # "take the best 25%" by soft score — distributed top-k
         # (TakeOrderedAndProject), deterministic via doc_id tie-break;
         # 0.25 is binary-exact so ceil(frac*N) matches across engines
@@ -2146,6 +2158,47 @@ def oracle_sql() -> dict[str, str]:
                    bool_or(is_quality) AS is_quality
             FROM b JOIN w USING (bucket)
             GROUP BY doc_id
+        """,
+        "lm_doc_surprisal": f"""
+            WITH ex AS (
+              SELECT doc_id, substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            c AS (SELECT thash, count(*) AS cnt FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            lm AS (
+              SELECT thash,
+                     length(bin((n_total + vocab) // (cnt + 1))) AS bits
+              FROM c CROSS JOIN s)
+            SELECT doc_id,
+                   cast(count(*) as bigint) AS n_toks,
+                   cast(sum(bits) as bigint) AS sum_bits,
+                   cast((10000 * sum(bits)) // count(*) as bigint)
+                       AS surprisal_bp
+            FROM ex JOIN lm USING (thash)
+            GROUP BY doc_id
+        """,
+        "lm_head_split": f"""
+            WITH ex AS (
+              SELECT doc_id, substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            c AS (SELECT thash, count(*) AS cnt FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            lm AS (
+              SELECT thash,
+                     length(bin((n_total + vocab) // (cnt + 1))) AS bits
+              FROM c CROSS JOIN s),
+            sc AS (
+              SELECT doc_id,
+                     cast((10000 * sum(bits)) // count(*) as bigint)
+                         AS surprisal_bp
+              FROM ex JOIN lm USING (thash)
+              GROUP BY doc_id)
+            SELECT doc_id, surprisal_bp,
+                   cast(ntile(3) OVER (ORDER BY surprisal_bp, doc_id)
+                        as bigint) AS split
+            FROM sc
         """,
         "qc_top_fraction": f"""
             WITH b AS ({_QC_BUCKETED_SQL}),

@@ -1,0 +1,152 @@
+"""Corpus-trained unigram language-model surprisal scoring — the
+CCNet/KenLM "perplexity filter" stage of a web-scale training-data
+pipeline (Wenzek et al., CCNet: score every extracted document with a
+language model, then keep the low-perplexity head of the distribution).
+
+Reference analogy: the reference pipeline's per-region recognition
+confidence (std-recognition/utils.py custom_mean over per-char
+softmax scores) is its "how plausible is this text" signal; this module
+is the corpus-level equivalent for extracted web text.
+
+The engine-portability trick: no floats, no ln(). Per-token surprisal is
+measured in WHOLE BITS via exact integer math that DuckDB and Spark
+evaluate identically:
+
+    surprisal(t) = length(bin((N + V) div (cnt(t) + 1)))
+                 = floor(log2((N + V) // (cnt(t) + 1))) + 1
+
+where cnt(t) is the token's corpus frequency, N the corpus token count
+and V the vocabulary size — i.e. the bit length of the inverse
+add-one-smoothed probability. ``bin()`` on a positive BIGINT renders
+without leading zeros in both engines (verified), so ``length(bin(x))``
+is an exact integer log2 everywhere. The quotient is >= 1 always
+(cnt <= N and V >= 1), so bin() never sees 0.
+
+Doc score: ``surprisal_bp = (10000 * sum_bits) div n_toks`` — mean bits
+per token in fixed-point basis points. LOW = predictable, fluent text
+(the CCNet "head"); HIGH = rare-token soup (boilerplate residue, code,
+lists, garbled decodes).
+
+Scale shape (10^12 docs):
+- one tokenize pass feeds BOTH the count aggregation and the scoring
+  join — the exploded (doc_id, thash) frame is lazily localCheckpointed
+  (the classifier/tfidf precedent; without it Catalyst re-tokenizes the
+  corpus once per consumer, no logical CSE).
+- shuffles carry shorts only: the count groupBy moves (16-hex thash)
+  with map-side partial counts; the scoring join moves (doc_id, thash);
+  token TEXT never crosses an exchange.
+- the (N, V) corpus scalars are a 1-row aggregate crossJoin-broadcast —
+  no driver collect, no Python round-trip.
+- per-token surprisal is computed once per VOCAB entry (on the counts
+  table), not once per token occurrence.
+- to score against a pre-trained / truncated LM instead of self-train,
+  swap ``counts`` for any (thash, cnt) frame (e.g. top-K by frequency
+  from a clean reference corpus) — the join shape is unchanged.
+
+DuckDB oracles: ``lm_doc_surprisal``, ``lm_head_split`` in
+__spark_entry__.py replay the identical integer math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+__all__ = ["token_counts", "lm_surprisal", "head_split"]
+
+SCALE_BP = 10_000
+
+
+def _thash(tok: Column) -> Column:
+    """16-hex md5 of a token — the fixed-width join/group key (house
+    style: chunk_dedup's chash). Collision odds at 64 bits are
+    negligible and, because both engines key on the same hash, any
+    collision folds identically on the Spark and oracle sides."""
+    return F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 16)
+
+
+def _keyed_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, thash) per token occurrence. explode_outer + isNotNull
+    per the InferFiltersFromGenerate rule (CLAUDE.md); the md5 of a
+    non-null string is non-nullable, so no inferred-isnotnull pushdown
+    disease on the downstream joins."""
+    return (
+        docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", _thash(F.col("tok")).alias("thash"))
+    )
+
+
+def token_counts(keyed: DataFrame) -> DataFrame:
+    """(thash, cnt) corpus unigram counts — the trained LM."""
+    return keyed.groupBy("thash").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def lm_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-train a unigram LM on the corpus and score every document.
+
+    Output: (doc_id, n_toks, sum_bits, surprisal_bp), all bigint.
+    """
+    keyed = _keyed_tokens(docs, text_col).localCheckpoint(eager=False)
+    counts = token_counts(keyed)
+    stats = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    # bits per VOCAB entry (not per occurrence): exact integer
+    # floor(log2(inverse smoothed prob)) + 1 via bin()-string length
+    lm = counts.crossJoin(F.broadcast(stats)).select(
+        "thash",
+        F.length(
+            F.bin(
+                F.expr("(n_total + vocab) div (cnt + 1)")
+            )
+        )
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        keyed.join(lm, "thash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_bits",
+            F.expr(f"({SCALE_BP} * sum_bits) div n_toks").alias(
+                "surprisal_bp"
+            ),
+        )
+    )
+
+
+def head_split(
+    docs: DataFrame, n_splits: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """CCNet head/middle/tail split: rank documents by LM surprisal
+    (ascending — most fluent first, doc_id tie-break) and deal them
+    into ``n_splits`` equal ntiles. split 1 = "head" (keep for
+    training), split ``n_splits`` = "tail" (drop or down-weight).
+
+    Output: (doc_id, surprisal_bp, split) — split is bigint 1..n.
+
+    Scale note: the ntile window input is (doc_id, surprisal_bp) —
+    16-byte rows, never text — but it is still a single global sort.
+    At 10^12 docs swap the exact ntile for threshold assignment from
+    the mergeable histogram sketch (operators/sketch.hist_quantiles):
+    two scan-local passes, no global window. The exact version here is
+    the oracle-checkable spec of the split semantics.
+    """
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1, got {n_splits}")
+    w = Window.orderBy(F.asc("surprisal_bp"), F.asc("doc_id"))
+    return lm_surprisal(docs, text_col=text_col).select(
+        "doc_id",
+        "surprisal_bp",
+        F.ntile(n_splits).over(w).cast("long").alias("split"),
+    )

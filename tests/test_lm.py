@@ -1,0 +1,106 @@
+"""Unit tests for the unigram-LM surprisal scorer (operators/lm.py).
+Cross-engine value parity lives in test_entry.py (lm_doc_surprisal /
+lm_head_split oracles); these prove the semantics on controlled text
+and check the exact bit math against a pure-Python replay.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from ocr_pipeline_spark.operators.lm import head_split, lm_surprisal
+
+DOCS = [
+    # fluent, repeated common words -> low surprisal
+    (0, "the cat sat on the mat and the dog sat on the cat"),
+    (1, "the dog sat on the mat and the cat sat on the dog"),
+    # rare-token soup -> high surprisal
+    (2, "zqx wvk jjq pzl qqv xxz kwj lzp vqq zxx"),
+    # mixed
+    (3, "the cat zqx on the mat wvk the dog"),
+]
+
+
+def _py_surprisal(rows):
+    """Pure-Python replay of the documented math (the spec)."""
+    norm = [(i, " ".join(t.lower().split())) for i, t in rows]
+    toks = {i: n.split(" ") for i, n in norm}
+    cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    n_total = sum(cnt.values())
+    vocab = len(cnt)
+    out = {}
+    for i, ts in toks.items():
+        bits = sum(
+            ((n_total + vocab) // (cnt[t] + 1)).bit_length() for t in ts
+        )
+        out[i] = (len(ts), bits, (10000 * bits) // len(ts))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_matches_python_spec(spark, docs):
+    want = _py_surprisal(DOCS)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["sum_bits"], r["surprisal_bp"])
+        for r in lm_surprisal(docs).collect()
+    }
+    assert got == want
+
+
+def test_rare_soup_scores_higher(spark, docs):
+    got = {
+        r["doc_id"]: r["surprisal_bp"] for r in lm_surprisal(docs).collect()
+    }
+    assert got[2] > got[3] > got[0]
+    assert got[2] > got[1]
+
+
+def test_head_split_is_partition(spark, docs):
+    rows = head_split(docs, n_splits=2).collect()
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    assert set(by_split) == {1, 2}
+    # head = lowest surprisal (fluent docs), tail = rare soup
+    head_ids = {r["doc_id"] for r in by_split[1]}
+    assert 2 not in head_ids
+    assert len(rows) == len(DOCS)
+    # ntile(2) over 4 rows -> 2 and 2
+    assert len(by_split[1]) == len(by_split[2]) == 2
+
+
+def test_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "a a a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_toks"] for r in lm_surprisal(df).collect()}
+    # NULL and '' both normalize to the single empty token
+    assert got == {0: 1, 1: 1, 2: 3}
+
+
+def test_bits_are_exact_log2(spark):
+    # one doc, known counts: token 'a' x3, 'b' x1 -> N=4, V=2
+    df = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    row = lm_surprisal(df).collect()[0]
+    # a: (6)//4 = 1 -> 1 bit, x3; b: (6)//2 = 3 -> 2 bits
+    assert row["sum_bits"] == 3 * 1 + 2
+    assert row["surprisal_bp"] == (10000 * 5) // 4
+    # sanity: bit_length really is floor(log2)+1
+    assert (3).bit_length() == math.floor(math.log2(3)) + 1
+
+
+def test_hash_key_is_md5_prefix():
+    # the join key contract both engines share
+    assert hashlib.md5(b"the").hexdigest()[:16] == (
+        hashlib.md5("the".encode()).hexdigest()[:16]
+    )
