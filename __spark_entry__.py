@@ -83,6 +83,8 @@ from ocr_pipeline_spark.operators.pii import (
     PII_STEPS_SQL,
     with_scrubbed_text,
 )
+from ocr_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+from ocr_pipeline_spark.operators.index import term_postings
 from ocr_pipeline_spark.operators.sketch import (
     cms_estimate,
     cms_state,
@@ -245,6 +247,8 @@ _VALIDATION_PRIORITY = [
     "a_grouping_sets",
     "lm_doc_surprisal",
     "lm_head_split",
+    "sk_bloom",
+    "ix_postings",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -361,6 +365,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_quantiles": lambda s, d: hist_quantiles(
             _t(s, d, "documents"), "lang", "n_chars", bins=64
         ),
+        # Bloom-filter membership (operators/bloom.py): build over the
+        # en doc ids, probe EVERY doc id, report per-lang hit counts —
+        # en proves no-false-negatives (n_maybe == n_probed == n_true),
+        # the other langs exercise the false-positive path (m=1024 is
+        # deliberately small so fps actually occur at this scale)
+        "sk_bloom": lambda s, d: _sk_bloom(s, d),
+        # sharded inverted index (operators/index.py): postings rows
+        # (term, shard, df_shard, tf_shard, df, postings) for terms in
+        # >= 10 docs; n_shards=2 exercises the stopword-skew bound
+        "ix_postings": lambda s, d: term_postings(
+            _t(s, d, "documents"), n_shards=2, min_df=10
+        ).orderBy("term", "shard"),
         # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
         "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
         # PII redaction over documents + the planted PII_SAMPLES corpus
@@ -837,6 +853,41 @@ def _p_hot_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain",
         "w",
         (F.col("w") > F.lit(0.05) * F.col("t")).alias("is_hot"),
+    )
+
+
+def _sk_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership end-to-end (operators/bloom.py): filter built
+    over the en doc ids, every doc id probed, per-lang rollup. en rows
+    pin the no-false-negative guarantee (n_maybe == n_probed); the four
+    non-member langs measure real false positives at m=1024/k=3 (~14%
+    at this fill — deliberately undersized so the fp path is hot)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = bloom_build(
+        docs.filter(F.col("lang") == "en").select(
+            F.col("doc_id").cast("string").alias("v")
+        ),
+        "v",
+        m_bits=1024,
+        n_hashes=3,
+    )
+    probed = bloom_probe(
+        docs.select(
+            "doc_id", "lang", F.col("doc_id").cast("string").alias("v")
+        ),
+        words,
+        "v",
+        m_bits=1024,
+        n_hashes=3,
+    )
+    return (
+        probed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("maybe_member").cast("long")).alias("n_maybe"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_true"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -2290,6 +2341,36 @@ def oracle_sql() -> dict[str, str]:
             + "]"
         ),
         "sk_heavy_hitters": _cms_oracle(),
+        # sk_bloom: replay the md5 positions, 32-bit word packing and
+        # bit tests of operators/bloom.py (m=1024, k=3; '#b'||seed salt)
+        "sk_bloom": """
+            WITH seeds AS (SELECT unnest([0, 1, 2]) AS s),
+            members AS (SELECT doc_id::VARCHAR AS v FROM documents
+                        WHERE lang = 'en'),
+            bits AS (SELECT DISTINCT
+                       ('0x' || substr(md5(v || '#b' || s), 1, 12))::BIGINT
+                         % 1024 AS pos
+                     FROM members CROSS JOIN seeds),
+            words AS (SELECT pos // 32 AS word_idx,
+                             bit_or((1::BIGINT << (pos % 32)::INTEGER))
+                               AS word
+                      FROM bits GROUP BY 1),
+            ppos AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR || '#b' || s),
+                                       1, 12))::BIGINT % 1024 AS pos
+                     FROM documents CROSS JOIN seeds),
+            phit AS (SELECT doc_id, lang,
+                       min(coalesce((word >> (pos % 32)::INTEGER) & 1, 0))
+                         AS hit
+                     FROM ppos LEFT JOIN words ON pos // 32 = word_idx
+                     GROUP BY doc_id, lang)
+            SELECT lang,
+                   cast(count(*) as bigint) AS n_probed,
+                   cast(sum(hit) as bigint) AS n_maybe,
+                   cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        as bigint) AS n_true
+            FROM phit GROUP BY lang ORDER BY lang
+        """,
         "sk_quantiles": """
             WITH v AS (SELECT lang AS grp, n_chars AS v FROM documents
                        WHERE n_chars IS NOT NULL),
@@ -2320,6 +2401,26 @@ def oracle_sql() -> dict[str, str]:
                                       THEN bin END) * max(w) as bigint)
                      AS est_p99
             FROM cdf GROUP BY grp
+        """,
+        # ix_postings: replay the two-level (term, doc) -> (term,
+        # shard) aggregation; list(doc_id ORDER BY doc_id) matches
+        # sort_array(collect_list); sums cast per the dtype contract
+        "ix_postings": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term
+                          FROM documents),
+            td AS (SELECT term, doc_id, cast(count(*) as bigint) AS tf
+                   FROM toks WHERE term IS NOT NULL AND term <> ''
+                   GROUP BY 1, 2),
+            packed AS (SELECT term, doc_id % 2 AS shard,
+                              cast(count(*) as bigint) AS df_shard,
+                              cast(sum(tf) as bigint) AS tf_shard,
+                              list(doc_id ORDER BY doc_id) AS postings
+                       FROM td GROUP BY 1, 2),
+            g AS (SELECT *, cast(sum(df_shard) OVER (PARTITION BY term)
+                                 as bigint) AS df
+                  FROM packed)
+            SELECT term, shard, df_shard, tf_shard, df, postings
+            FROM g WHERE df >= 10 ORDER BY term, shard
         """,
         "sk_distinct_tokens": f"""
             WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
