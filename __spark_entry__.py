@@ -83,7 +83,12 @@ from ocr_pipeline_spark.operators.pii import (
     PII_STEPS_SQL,
     with_scrubbed_text,
 )
-from ocr_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+from ocr_pipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_gate,
+    bloom_probe,
+)
+from ocr_pipeline_spark.operators.graph import pagerank
 from ocr_pipeline_spark.operators.index import term_postings
 from ocr_pipeline_spark.operators.sketch import (
     cms_estimate,
@@ -249,6 +254,8 @@ _VALIDATION_PRIORITY = [
     "lm_head_split",
     "sk_bloom",
     "ix_postings",
+    "g_pagerank",
+    "cur_bloom_gate",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -377,6 +384,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ix_postings": lambda s, d: term_postings(
             _t(s, d, "documents"), n_shards=2, min_df=10
         ).orderBy("term", "shard"),
+        # exact fixed-point PageRank (operators/graph.py) over the
+        # click-transition graph: per-user consecutive events (ordered
+        # by ts, event_id) link their props.k pages; 3 iterations,
+        # damping 0.85 — bit-identical ranks in both engines
+        "g_pagerank": lambda s, d: _g_pagerank(s, d),
+        # Bloom-gated incremental dedup (operators/bloom.py:bloom_gate):
+        # even docs are the sealed corpus, odd docs + 5 re-ingested even
+        # docs are the increment — exercises all three statuses ('new'
+        # skips the exact join entirely, 'dup' planted re-ingests, 'fp'
+        # real false positives at the undersized m=1024)
+        "cur_bloom_gate": lambda s, d: _cur_bloom_gate(s, d),
         # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
         "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
         # PII redaction over documents + the planted PII_SAMPLES corpus
@@ -889,6 +907,91 @@ def _sk_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _cur_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated append-mode dedup: the even-doc_id half is the
+    sealed corpus (fingerprints only, as in cur_incremental); the
+    increment is the odd half plus the first 5 even docs re-ingested
+    under doc_id+1_000_000 (planted exact dups, so the 'dup' branch is
+    value-checked too, not just 'new'/'fp')."""
+    docs = _t(spark, sf_dir, "documents")
+    known = docs.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint(F.col("text")).alias("fpr")
+    )
+    inc = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 10))
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .select("doc_id", fingerprint(F.col("text")).alias("fpr"))
+    )
+    return (
+        bloom_gate(inc, known, "fpr", m_bits=1024, n_hashes=3)
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    )
+
+
+def _click_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) click-transition edges: per user, consecutive events
+    (ordered by ts with event_id tie-break) link their props.k pages.
+    Ordering inputs are never NULL-mixed (ts/event_id are dense synth
+    columns), per the sort-column rule."""
+    ev = _t(spark, sf_dir, "events")
+    page = F.get_json_object("props", "$.k").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", page.alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select("src", "dst")
+    )
+
+
+def _g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration exact PageRank over the click graph. The graph has
+    ~100 page nodes with skewed in-degrees (popular pages), so ranks
+    spread well away from the uniform 10000 start."""
+    return pagerank(_click_edges(spark, sf_dir), n_iters=3).orderBy("node")
+
+
+def _pagerank_oracle(n_iters: int = 3) -> str:
+    """g_pagerank oracle: unroll the fixed-point iterations as chained
+    CTEs — same integer ops as operators/graph.pagerank (div-per-edge,
+    sum, damp), same uniform start."""
+    its = []
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        its.append(f"""
+            c{i} AS (SELECT de.dst AS node,
+                       cast(sum(r.rank_bp // de.outdeg) as bigint) AS in_bp
+                     FROM de JOIN r{p} r ON de.src = r.node GROUP BY 1),
+            r{i} AS (SELECT n.node,
+                       cast(1500 + (8500 * coalesce(c{i}.in_bp, 0)) // 10000
+                            as bigint) AS rank_bp
+                     FROM nodes n LEFT JOIN c{i} USING (node))""")
+    return f"""
+        WITH ev AS (SELECT user_id, ts, event_id,
+                      json_extract_string(props, '$.k')::BIGINT AS src
+                    FROM events),
+        tr AS (SELECT src, lead(src) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS dst FROM ev),
+        edges AS (SELECT src, dst FROM tr WHERE dst IS NOT NULL),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, cast(count(*) as bigint) AS outdeg
+                FROM edges GROUP BY 1),
+        de AS (SELECT e.src, e.dst, d.outdeg
+               FROM edges e JOIN deg d USING (src)),
+        r0 AS (SELECT node, 10000::BIGINT AS rank_bp FROM nodes),
+        {",".join(its)}
+        SELECT node, rank_bp FROM r{n_iters} ORDER BY node
+    """
 
 
 def _w_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,6 +2444,42 @@ def oracle_sql() -> dict[str, str]:
             + "]"
         ),
         "sk_heavy_hitters": _cms_oracle(),
+        "g_pagerank": _pagerank_oracle(),
+        # cur_bloom_gate: replay bloom over the known fingerprints,
+        # probe the increment (odd docs + 5 planted re-ingests), exact
+        # IN-check only to split dup vs fp — same m=1024/k=3 layout
+        "cur_bloom_gate": f"""
+            WITH seeds AS (SELECT unnest([0, 1, 2]) AS s),
+            known AS (SELECT DISTINCT substr(md5({_NORM}), 1, 16) AS fpr
+                      FROM documents WHERE doc_id % 2 = 0),
+            bits AS (SELECT DISTINCT
+                       ('0x' || substr(md5(fpr || '#b' || s), 1, 12))::BIGINT
+                         % 1024 AS pos
+                     FROM known CROSS JOIN seeds),
+            words AS (SELECT pos // 32 AS word_idx,
+                             bit_or((1::BIGINT << (pos % 32)::INTEGER))
+                               AS word
+                      FROM bits GROUP BY 1),
+            inc AS (SELECT doc_id, substr(md5({_NORM}), 1, 16) AS fpr
+                    FROM documents WHERE doc_id % 2 = 1
+                    UNION ALL
+                    SELECT doc_id + 1000000, substr(md5({_NORM}), 1, 16)
+                    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 10),
+            ppos AS (SELECT doc_id, fpr,
+                       ('0x' || substr(md5(fpr || '#b' || s), 1, 12))::BIGINT
+                         % 1024 AS pos
+                     FROM inc CROSS JOIN seeds),
+            phit AS (SELECT doc_id, fpr,
+                       min(coalesce((word >> (pos % 32)::INTEGER) & 1, 0))
+                         AS hit
+                     FROM ppos LEFT JOIN words ON pos // 32 = word_idx
+                     GROUP BY doc_id, fpr)
+            SELECT doc_id,
+                   CASE WHEN hit = 0 THEN 'new'
+                        WHEN fpr IN (SELECT fpr FROM known) THEN 'dup'
+                        ELSE 'fp' END AS status
+            FROM phit ORDER BY doc_id
+        """,
         # sk_bloom: replay the md5 positions, 32-bit word packing and
         # bit tests of operators/bloom.py (m=1024, k=3; '#b'||seed salt)
         "sk_bloom": """

@@ -66,6 +66,15 @@ EXTENDED = [
     "ts_langid_ngram",
     "sp_zorder",
     "p_unpivot",
+    # round-4 additions
+    "sp_reservoir",
+    "cur_domain_cap",
+    "sk_quantiles",
+    "lm_doc_surprisal",
+    "lm_head_split",
+    "sk_bloom",
+    "ix_postings",
+    "g_pagerank",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -50,7 +50,13 @@ from pyspark.sql import functions as F
 
 from .textstats import _token_hash
 
-__all__ = ["bloom_build", "bloom_probe", "bloom_merge", "bloom_fill"]
+__all__ = [
+    "bloom_build",
+    "bloom_probe",
+    "bloom_merge",
+    "bloom_fill",
+    "bloom_gate",
+]
 
 WORD_BITS = 32
 
@@ -163,3 +169,53 @@ def bloom_probe(
     return tested.groupBy(*df.columns).agg(
         (F.min("_bit") == 1).alias("maybe_member")
     )
+
+
+def bloom_gate(
+    increment: DataFrame,
+    known_keys: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup with a Bloom pre-filter: classify every
+    increment row against the already-ingested key set.
+
+    Output: increment columns + ``status`` in {'new', 'dup', 'fp'} —
+    'new' rows missed the filter (definitely unseen: no false negatives,
+    so NO exact lookup needed), 'dup' rows hit the filter AND the exact
+    set, 'fp' rows hit the filter but not the set (false positives —
+    kept, they are new). ``known_keys`` is a one-column (value_col)
+    frame of the sealed corpus's keys.
+
+    Why this beats the plain anti-join at 10^12 known keys: the exact
+    semi-join must shuffle EVERY increment key against the full known
+    store; the gate sends only the filter hits there — at a designed 1%
+    fp rate and a mostly-new increment, ~99% of rows skip the join
+    entirely, and the filter itself is a fixed m/32-row broadcast built
+    once per corpus seal (bit_or-mergeable on append). The curate_job
+    fingerprint recipe (coalesce sentinels on the join key) applies on
+    the exact path.
+    """
+    probed = bloom_probe(
+        increment, bloom_build(known_keys, value_col, m_bits, n_hashes),
+        value_col, m_bits, n_hashes,
+    )
+    known = known_keys.select(
+        F.coalesce(F.col(value_col), F.lit("#null-known")).alias("_k")
+    ).distinct()
+    maybe = probed.filter(F.col("maybe_member"))
+    confirmed = maybe.join(
+        known,
+        F.coalesce(F.col(value_col), F.lit("#null-inc")) == F.col("_k"),
+        "left",
+    ).select(
+        *increment.columns,
+        F.when(F.col("_k").isNotNull(), F.lit("dup"))
+        .otherwise(F.lit("fp"))
+        .alias("status"),
+    )
+    fresh = probed.filter(~F.col("maybe_member")).select(
+        *increment.columns, F.lit("new").alias("status")
+    )
+    return fresh.unionByName(confirmed)

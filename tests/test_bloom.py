@@ -16,6 +16,7 @@ from ocr_pipeline_spark.operators.bloom import (
     WORD_BITS,
     bloom_build,
     bloom_fill,
+    bloom_gate,
     bloom_merge,
     bloom_probe,
 )
@@ -115,6 +116,32 @@ def test_m_bits_word_multiple_guard(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError, match="multiple"):
         bloom_build(df, "v", m_bits=100, n_hashes=2)
+
+
+def test_gate_statuses(spark, keysets):
+    members, others, mdf, _ = keysets
+    # increment: 20 re-ingested known keys + 200 unseen keys
+    inc = spark.createDataFrame(
+        [(v,) for v in members[:20] + others[:200]], "v string"
+    )
+    got = {
+        r["v"]: r["status"]
+        for r in bloom_gate(inc, mdf, "v", m_bits=M, n_hashes=K).collect()
+    }
+    assert len(got) == 220
+    # every re-ingested key is a dup — never 'new', never 'fp'
+    assert all(got[v] == "dup" for v in members[:20])
+    # unseen keys are 'new' or 'fp', never 'dup'
+    unseen = [got[v] for v in others[:200]]
+    assert "dup" not in unseen and unseen.count("new") > 150
+    # fp rate at this fill is small but non-zero in expectation; the
+    # split must be exact vs a python replay of the filter
+    all_bits = set()
+    for v in members:
+        all_bits |= _py_positions(v)
+    for v in others[:200]:
+        want = "fp" if _py_positions(v) <= all_bits else "new"
+        assert got[v] == want
 
 
 def test_probe_plan_is_broadcast_join(spark, keysets):

@@ -1,0 +1,79 @@
+"""Unit tests for exact fixed-point PageRank (operators/graph.py).
+Cross-engine value parity lives in test_entry.py (g_pagerank oracle);
+these check the iteration math against a pure-Python replay on a
+controlled graph, plus the structural rank properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_pipeline_spark.operators.graph import out_degrees, pagerank
+
+# star-plus-chain: 1..4 all link to 0 (hub); 0 links to 1; 5 -> 6 chain
+EDGES = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1), (5, 6), (1, 2)]
+
+
+def _py_pagerank(edges, n_iters=3, damping_bp=8500):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {n: 10000 for n in nodes}
+    for _ in range(n_iters):
+        inc = {n: 0 for n in nodes}
+        for u, v in edges:
+            inc[v] += rank[u] // deg[u]
+        rank = {
+            n: (10000 - damping_bp) + (damping_bp * inc[n]) // 10000
+            for n in nodes
+        }
+    return rank
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_matches_python_spec(spark, edges):
+    want = _py_pagerank(EDGES)
+    got = {r["node"]: r["rank_bp"] for r in pagerank(edges).collect()}
+    assert got == want
+
+
+def test_hub_ranks_highest(spark, edges):
+    got = {r["node"]: r["rank_bp"] for r in pagerank(edges).collect()}
+    assert got[0] == max(got.values())
+    # 6 only receives from dangling-fed 5; 5 receives nothing
+    assert got[5] == 1500 + (8500 * 0) // 10000  # base only after iter 1
+
+
+def test_out_degrees_multiplicity(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r["outdeg"] for r in out_degrees(df).collect()}
+    assert got == {1: 3}
+
+
+def test_single_iteration_formula(spark, edges):
+    want = _py_pagerank(EDGES, n_iters=1)
+    got = {
+        r["node"]: r["rank_bp"]
+        for r in pagerank(edges, n_iters=1).collect()
+    }
+    assert got == want
+
+
+def test_param_guards(spark, edges):
+    with pytest.raises(ValueError, match="damping_bp"):
+        pagerank(edges, damping_bp=10001)
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(edges, n_iters=0)
+
+
+def test_deterministic_across_partitionings(spark, edges):
+    a = pagerank(edges.repartition(1)).collect()
+    b = pagerank(edges.repartition(7)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
