@@ -53,6 +53,7 @@ from ocr_pipeline_spark.operators.extraction import (
     segment_pages,
 )
 from ocr_pipeline_spark.operators.clustering import kmeans_assign
+from ocr_pipeline_spark.operators.collocations import collocations
 from ocr_pipeline_spark.operators.lm import head_split, lm_surprisal
 from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
@@ -256,6 +257,7 @@ _VALIDATION_PRIORITY = [
     "ix_postings",
     "g_pagerank",
     "cur_bloom_gate",
+    "ts_collocations",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -395,6 +397,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skips the exact join entirely, 'dup' planted re-ingests, 'fp'
         # real false positives at the undersized m=1024)
         "cur_bloom_gate": lambda s, d: _cur_bloom_gate(s, d),
+        # bigram collocation mining (operators/collocations.py): top-50
+        # adjacent pairs by fixed-point observed/expected lift — the
+        # boilerplate-phrase detector; exact bigint math end to end
+        "ts_collocations": lambda s, d: collocations(
+            _t(s, d, "documents"), min_count=5, top_k=50
+        ),
         # cross-doc pooling: corpus df -> per-doc tf-idf keyword top-k
         "ts_tfidf_top": lambda s, d: tfidf_top_terms(_t(s, d, "documents")),
         # PII redaction over documents + the planted PII_SAMPLES corpus
@@ -2445,6 +2453,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sk_heavy_hitters": _cms_oracle(),
         "g_pagerank": _pagerank_oracle(),
+        # ts_collocations: unigram + adjacent-bigram counts (unnest +
+        # generate_subscripts zip positionally; lead() pairs adjacent
+        # tokens per doc), same fixed-point lift, same tie-broken top-k
+        "ts_collocations": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            tok0 AS (SELECT doc_id, unnest(toks) AS tok,
+                            generate_subscripts(toks, 1) AS ord FROM t),
+            tok AS (SELECT * FROM tok0 WHERE tok <> ''),
+            uni AS (SELECT tok AS term, cast(count(*) as bigint) AS c
+                    FROM tok GROUP BY 1),
+            n AS (SELECT cast(sum(c) as bigint) AS n_total FROM uni),
+            bg AS (SELECT tok AS a,
+                          lead(tok) OVER (PARTITION BY doc_id
+                                          ORDER BY ord) AS b
+                   FROM tok),
+            pairs AS (SELECT a, b, cast(count(*) as bigint) AS c_ab
+                      FROM bg WHERE b IS NOT NULL GROUP BY 1, 2
+                      HAVING count(*) >= 5)
+            SELECT p.a, p.b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+                   cast((10000 * p.c_ab * n.n_total) // (ua.c * ub.c)
+                        as bigint) AS lift_bp
+            FROM pairs p
+            JOIN uni ua ON p.a = ua.term
+            JOIN uni ub ON p.b = ub.term
+            CROSS JOIN n
+            ORDER BY lift_bp DESC, a, b LIMIT 50
+        """,
         # cur_bloom_gate: replay bloom over the known fingerprints,
         # probe the increment (odd docs + 5 planted re-ingests), exact
         # IN-check only to split dup vs fp — same m=1024/k=3 layout

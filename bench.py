@@ -75,6 +75,8 @@ EXTENDED = [
     "sk_bloom",
     "ix_postings",
     "g_pagerank",
+    "cur_bloom_gate",
+    "ts_collocations",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
