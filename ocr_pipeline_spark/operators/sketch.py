@@ -156,13 +156,24 @@ def cms_state(
 
     States merge by cellwise addition (``groupBy(row, col).sum`` over a
     union) — increments / partitions / days combine without rescans.
-    NULL values are excluded (not a value; parity rule)."""
+    NULL values are excluded (not a value; parity rule).
+
+    Perf (r4): values are COUNTED first (one groupBy on the short value
+    itself, map-side combinable), then the depth md5 salts are computed
+    once per DISTINCT value and the cells weighted by the count — on a
+    Zipfian token stream that is ~100× less hashing than salting every
+    occurrence (a cell count is the same sum either way). Costs one
+    extra tiny shuffle of (value, count) pairs; the md5 work drops from
+    depth×occurrences to depth×vocabulary."""
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2: {depth}, {width}")
-    vals = df.select(F.col(value_col).alias("v")).filter(
-        F.col("v").isNotNull()
+    counts = (
+        df.select(F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    rows = vals.select(
+    rows = counts.select(
         F.explode(
             F.array(
                 *[
@@ -178,11 +189,12 @@ def cms_state(
                     for r in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
+        "_n",
     )
     return (
         rows.groupBy("c.row_idx", "c.col_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("_n").cast("long").alias("cnt"))
     )
 
 
