@@ -430,3 +430,72 @@ def test_profile_single_scan(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(profile_table(docs))
     assert plan.count("FileScan") == 1
+
+
+def test_pagerank_iterations_shuffle_bigints_only(spark):
+    """pagerank's scale contract: every per-iteration exchange carries
+    node-id/rank/degree bigints — no wide rows — and the rank tables
+    are lineage-truncated (localCheckpoint), so the executed plan does
+    not re-derive the edge list once per iteration."""
+    from ocr_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(40)], "src long, dst long"
+    )
+    df = pagerank(edges, n_iters=3)
+    # lineage truncation: the final plan hangs off checkpointed RDD
+    # scans (each round materializes), not a 3x-unrolled join tree —
+    # that truncation is itself the visible-plan contract here; any
+    # exchange that does appear must carry no wide attributes
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    for b in _shuffle_blocks(df):
+        for attr in ("text#", "props#", "url#"):
+            assert attr not in b, b
+
+
+def test_bloom_gate_exact_join_only_on_filter_hits(spark):
+    """bloom_gate's scale contract: the filter state reaches the probe
+    as a broadcast; the exact known-key join input is the maybe-hit
+    subset, never the whole increment union the known store's text."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.bloom import bloom_gate
+
+    known = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)], "v string"
+    )
+    inc = spark.createDataFrame(
+        [(f"i{i}", f"k{i % 60}") for i in range(200)],
+        "doc_id string, v string",
+    )
+    df = bloom_gate(inc, known, "v", m_bits=512, n_hashes=3)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocations_single_tokenize_short_shuffles(spark):
+    """collocations' scale contract: the token-array projection is
+    materialized once (checkpoint boundary) feeding both counters, and
+    no exchange carries the document text."""
+    from ocr_pipeline_spark.operators.collocations import collocations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = collocations(docs, min_count=2, top_k=10)
+    for b in _shuffle_blocks(df):
+        assert "text#" not in b, b
+    assert "Scan ExistingRDD" in _plan(df)
+
+
+def test_postings_global_df_single_window_over_packed_rows(spark):
+    """term_postings' scale contract: the df window runs over the
+    packed (term, shard) rows — the plan has exactly two wide
+    aggregates ((term,doc) then (term,shard)) before the window, and
+    no exchange carries text."""
+    from ocr_pipeline_spark.operators.index import term_postings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = term_postings(docs, n_shards=2, min_df=2)
+    for b in _shuffle_blocks(df):
+        assert "text#" not in b, b
