@@ -72,6 +72,7 @@ from ocr_pipeline_spark.operators.similarity import (
     brute_force_topk_arrow,
     cosine_near_dup,
     ivf_topk,
+    rp_project,
     _plane_constants,
 )
 from ocr_pipeline_spark.operators.profiling import (
@@ -258,6 +259,7 @@ _VALIDATION_PRIORITY = [
     "g_pagerank",
     "cur_bloom_gate",
     "ts_collocations",
+    "sim_rp_reduce",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -532,6 +534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_arrow": lambda s, d: brute_force_topk_arrow(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
+        # Johnson-Lindenstrauss random projection 64d -> 16d
+        # (operators/similarity.py:rp_project): scan-local fold dots
+        # against md5-derived planes, rounded 4dp (the cos_sim recipe)
+        "sim_rp_reduce": lambda s, d: rp_project(
+            _t(s, d, "embeddings")
+        ).orderBy("vec_id"),
         # connected components over LSH pairs → canonical duplicate
         # clusters (iterative pointer-jumping on the Spark side; the
         # oracle replays it as a DuckDB recursive-CTE reachability)
@@ -1512,6 +1520,21 @@ def _set_view_not_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # oracles
+
+def _rp_oracle(out_dim: int = 16, in_dim: int = 64, seed: int = 7) -> str:
+    """sim_rp_reduce oracle: the same md5-derived plane constants
+    (imported from operators/similarity._plane_constants, inlined as
+    literals), the same sequential fold per component, the same
+    round-4dp + (-0.0 -> +0.0) normalization."""
+    planes = _plane_constants(out_dim, in_dim, seed)
+    comps = ", ".join(
+        f"round({_dot_sql('v', row)}, 4) + 0.0" for row in planes
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id, [{comps}] AS rp FROM e ORDER BY vec_id
+    """
+
 
 def _dot_sql(vec: str, plane: list[float]) -> str:
     lit = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
@@ -3229,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal: expectations computed by the same Python kernels the
         # Spark UDFs call, inlined as VALUES (binary payloads — not
         # expressible over the pre-registered views)
+        "sim_rp_reduce": _rp_oracle(),
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),
         "mm_frames": _mm_frames_oracle(),

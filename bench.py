@@ -77,6 +77,7 @@ EXTENDED = [
     "g_pagerank",
     "cur_bloom_gate",
     "ts_collocations",
+    "sim_rp_reduce",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -36,6 +36,7 @@ __all__ = [
     "ann_topk",
     "cosine_near_dup",
     "ivf_topk",
+    "rp_project",
 ]
 
 
@@ -418,3 +419,45 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def rp_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 7,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    project each embedding onto ``out_dim`` deterministic md5-derived
+    hyperplanes — the cheap front half of a two-stage ANN (search the
+    16-d sketch, re-rank survivors in full dimension), and the standard
+    4x shrink for embedding storage/shuffle budgets.
+
+    Output: (id_col, rp array<double>), components rounded to
+    ``round_dp`` decimals (round-then-emit, the cos_sim recipe — the
+    fold itself is sequence-identical to the DuckDB oracle, rounding
+    only normalizes the printed tail).
+
+    Scale shape: entirely scan-local — no shuffle, no UDF; out_dim
+    sequential-fold dot products per row against broadcast literal
+    planes (JVM codegen). The cast-to-double projection is staged once
+    (``_v``) so Catalyst's missing logical CSE cannot re-cast the
+    array per component (CLAUDE.md rule; CollapseProject preserves the
+    split for non-cheap multi-referenced producers).
+    """
+    planes = _plane_constants(out_dim, in_dim, seed)
+    staged = df.select(id_col, _dbl(F.col(vec_col)).alias("_v"))
+    comps = [
+        # + 0.0 folds IEEE -0.0 to +0.0 (a component that rounds to
+        # zero from below would otherwise print/hash differently
+        # across engines); exact for every other value
+        F.round(
+            _dot(F.col("_v"), F.array(*[F.lit(c) for c in row])), round_dp
+        )
+        + F.lit(0.0)
+        for row in planes
+    ]
+    return staged.select(id_col, F.array(*comps).alias("rp"))

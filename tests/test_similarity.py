@@ -92,3 +92,43 @@ def test_ann_deterministic(spark, emb):
     a = sorted(map(tuple, ann_topk(emb, query_ids=[0, 1], k=3).collect()))
     b = sorted(map(tuple, ann_topk(emb.repartition(9), query_ids=[0, 1], k=3).collect()))
     assert a == b
+
+
+def test_rp_project_matches_python_fold(spark, emb, emb_np):
+    """rp_project components must equal the sequential left-fold dot
+    against the md5-derived planes (round 4dp, -0.0 folded to +0.0)."""
+    from ocr_pipeline_spark.operators.similarity import (
+        _plane_constants,
+        rp_project,
+    )
+
+    ids, mat = emb_np
+    planes = _plane_constants(16, 64, 7)
+
+    def fold_dot(vec, plane):
+        acc = 0.0
+        for x, y in zip(vec, plane):
+            acc = acc + x * y
+        return round(acc, 4) + 0.0
+
+    got = {r["vec_id"]: list(r["rp"]) for r in rp_project(emb).collect()}
+    for row_i in range(0, len(ids), 37):  # sample every 37th vector
+        vid = int(ids[row_i])
+        want = [fold_dot(mat[row_i], p) for p in planes]
+        assert got[vid] == pytest.approx(want, abs=0.0), vid
+
+
+def test_rp_project_scan_local_and_deterministic(spark, emb):
+    """Scale contract: the projection is one narrow stage — no Exchange
+    — and independent of input partitioning."""
+    from ocr_pipeline_spark.operators.similarity import rp_project
+
+    df = rp_project(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = sorted((r["vec_id"], tuple(r["rp"])) for r in df.collect())
+    b = sorted(
+        (r["vec_id"], tuple(r["rp"]))
+        for r in rp_project(emb.repartition(13)).collect()
+    )
+    assert a == b
