@@ -289,3 +289,69 @@ def test_start_curate_stream_end_to_end(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == 1  # one quality fingerprint survives
     assert got.first()["doc_id"] in (1, 2)
+
+
+def test_token_sketch_stream_merges_to_batch_sketch(spark, tmp_path):
+    """Continuous CMS maintenance: the merged append-only state log
+    equals the batch sketch over the same corpus EXACTLY (cellwise
+    mergeability), and estimates answer from the merged state."""
+    import datetime
+
+    from ocr_pipeline_spark.operators.sketch import cms_estimate, cms_state
+    from ocr_pipeline_spark.operators.textstats import tokens
+    from ocr_pipeline_spark.streaming import (
+        compact_sketch_log,
+        read_sketch,
+        start_token_sketch_stream,
+    )
+    from pyspark.sql import functions as F
+
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (i, ts, f"the data {'query ' * (i % 3)}engine row {i}", "en")
+        for i in range(60)
+    ]
+    schema = "doc_id long, warc_ts timestamp, text string, lang string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(src)
+
+    state = str(tmp_path / "state")
+    q = start_token_sketch_stream(
+        spark,
+        src,
+        state,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    _wait(q)
+
+    merged = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in read_sketch(spark, state).collect()
+    }
+    toks = (
+        spark.createDataFrame(rows, schema)
+        .select(F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    want = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in cms_state(toks, "tok").collect()
+    }
+    assert merged == want
+
+    est = {
+        r["value"]: r["est"]
+        for r in cms_estimate(
+            read_sketch(spark, state), ["the", "zzz-absent"]
+        ).collect()
+    }
+    assert est["the"] >= 60 and est["zzz-absent"] == 0
+
+    # compaction preserves the sums
+    compact_sketch_log(spark, state)
+    after = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in read_sketch(spark, state).collect()
+    }
+    assert after == want
