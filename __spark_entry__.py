@@ -260,6 +260,7 @@ _VALIDATION_PRIORITY = [
     "cur_bloom_gate",
     "ts_collocations",
     "sim_rp_reduce",
+    "dd_containment",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -399,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skips the exact join entirely, 'dup' planted re-ingests, 'fp'
         # real false positives at the undersized m=1024)
         "cur_bloom_gate": lambda s, d: _cur_bloom_gate(s, d),
+        # asymmetric containment detection (operators/dedup.py:
+        # containment_pairs): winnowing-fingerprint overlap with planted
+        # truncated-half re-ingests — the quote/excerpt detector Jaccard
+        # can't express; candidate join moves (fp, doc_id) bigints only
+        "dd_containment": lambda s, d: _dd_containment(s, d),
         # bigram collocation mining (operators/collocations.py): top-50
         # adjacent pairs by fixed-point observed/expected lift — the
         # boilerplate-phrase detector; exact bigint math end to end
@@ -950,6 +956,31 @@ def _cur_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_gate(inc, known, "fpr", m_bits=1024, n_hashes=3)
         .select("doc_id", "status")
         .orderBy("doc_id")
+    )
+
+
+def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs over documents + 5 planted truncated halves
+    (doc_id+2_000_000 carries the first half of doc_id<5's tokens) —
+    each half is fully contained in its source (containment_bp 10000),
+    plus whatever natural template overlap the synth corpus has."""
+    from ocr_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    halves = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                tokens(F.col("text")),
+                1,
+                (F.size(tokens(F.col("text"))) / 2).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(halves)
+    return containment_pairs(aug, threshold_bp=6000).orderBy(
+        "src_id", "dst_id"
     )
 
 
@@ -2780,6 +2811,45 @@ def oracle_sql() -> dict[str, str]:
                       i -> list_min(hs[i+1:i+4]))) AS fps
                   FROM h)
             SELECT doc_id, unnest(fps) AS fp FROM m
+        """,
+        # dd_containment: replay the fp_winnow derivation over the
+        # augmented table (docs + 5 truncated halves), rare-fp cap 20,
+        # asymmetric shared/|fp(src)| in basis points
+        "dd_containment": f"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id,
+                     array_to_string(
+                       ({_TOKS})[1:(len({_TOKS}) // 2)], ' ') AS text
+              FROM documents WHERE doc_id < 5),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+            h AS (SELECT doc_id,
+                    list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                      i -> ('0x' || substr(md5(array_to_string(
+                             toks[i+1:i+3], ' ')), 1, 12))::BIGINT) AS hs
+                  FROM t),
+            m AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      range(0, greatest(len(hs) - 4, 0) + 1),
+                      i -> list_min(hs[i+1:i+4]))) AS fps
+                  FROM h),
+            f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+            rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+            p AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+            sizes AS (SELECT doc_id AS src_id,
+                             cast(len(fps) as bigint) AS n_src FROM m),
+            shared AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                              cast(count(*) as bigint) AS n_shared
+                       FROM p a JOIN p b
+                         ON a.fp = b.fp AND a.doc_id <> b.doc_id
+                       GROUP BY 1, 2)
+            SELECT src_id, dst_id, n_shared, n_src,
+                   cast((10000 * n_shared) // n_src as bigint)
+                     AS containment_bp
+            FROM shared JOIN sizes USING (src_id)
+            WHERE (10000 * n_shared) // n_src >= 6000
+            ORDER BY src_id, dst_id
         """,
         "sim_near_dup": _near_dup_sql(threshold=0.3),
         "ml_kmeans_cells": _kmeans_oracle(),

@@ -78,6 +78,7 @@ EXTENDED = [
     "cur_bloom_gate",
     "ts_collocations",
     "sim_rp_reduce",
+    "dd_containment",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -46,6 +46,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_signatures_expr",
     "simhash_candidate_pairs",
+    "containment_pairs",
 ]
 
 DEFAULT_NUM_HASHES = 8
@@ -673,4 +674,80 @@ def chunk_dedup(
             .cast("long")
             .alias("n_kept"),
         )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_bp: int = 6000,
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int | None = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC containment detection over winnowing fingerprints —
+    "document A is (mostly) contained in document B": quotes, truncated
+    re-crawls, syndicated excerpts, prompt/completion leaks. Jaccard
+    (symmetric) misses these: a 100-word quote inside a 10k-word page
+    has tiny Jaccard but near-1.0 containment.
+
+    containment_bp(src → dst) = 10000 · |fp(src) ∩ fp(dst)| div |fp(src)|
+
+    over MOSS winnowing fingerprints (textstats.winnow_fingerprints:
+    any shared token run of ≥ w+k-1 tokens shares a fingerprint, so a
+    verbatim-contained src scores near 10000 minus boundary windows).
+    Output: (src_id, dst_id, n_shared, n_src, containment_bp), ordered
+    pairs in BOTH directions (the asymmetry is the information), pairs
+    below ``threshold_bp`` dropped.
+
+    Scale shape:
+    - candidate generation is the equi-self-join on the fingerprint —
+      (fp, doc_id) bigint pairs only, never text (the LSH-pairs shape).
+    - ``max_fp_df`` drops corpus-ubiquitous fingerprints before the
+      join (site boilerplate shared by thousands of pages would
+      contribute df² candidate pairs; a fingerprint that common
+      identifies no specific containment anyway — the stopword-cap
+      argument from index.term_postings). The cap bounds the join
+      fan-out at max_fp_df² pairs per fingerprint.
+    - |fp(src)| comes from the fingerprint table itself (size of the
+      array), broadcast-joined back onto the aggregated pair counts.
+    """
+    from .textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, text_col=text_col, k=k, w=w)
+    sizes = fps.select(
+        F.col("doc_id").alias("src_id"),
+        F.size("fingerprints").cast("long").alias("n_src"),
+    )
+    pairs = fps.select(
+        "doc_id", F.explode_outer("fingerprints").alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    if max_fp_df is not None:
+        rare = (
+            pairs.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        pairs = pairs.join(rare, "fp")
+    a = pairs.select(F.col("doc_id").alias("src_id"), "fp")
+    b = pairs.select(F.col("doc_id").alias("dst_id"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "src_id")
+        .select(
+            "src_id",
+            "dst_id",
+            "n_shared",
+            "n_src",
+            F.expr("(10000 * n_shared) div n_src").alias(
+                "containment_bp"
+            ),
+        )
+        .filter(F.col("containment_bp") >= threshold_bp)
     )

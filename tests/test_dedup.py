@@ -236,3 +236,63 @@ def test_chunk_dedup_preserves_content_invariants(spark):
         ]
         assert r["n_kept"] == len(expect)
         assert r["dedup_text"] == " ".join(expect)
+
+
+class TestContainment:
+    def test_planted_quote_detected_asymmetrically(self, spark):
+        from ocr_pipeline_spark.operators.dedup import containment_pairs
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        quote = "delta epsilon zeta eta theta iota kappa lambda"
+        docs = spark.createDataFrame(
+            [
+                (0, base),
+                (1, quote),  # fully contained in 0
+                (2, "totally different words nothing shared here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["src_id"], r["dst_id"]): r["containment_bp"]
+            for r in containment_pairs(docs, threshold_bp=0).collect()
+        }
+        # quote -> base is full containment; base -> quote is partial
+        assert got[(1, 0)] == 10000
+        assert got.get((0, 1), 0) < 10000
+        assert (2, 0) not in got and (0, 2) not in got
+
+    def test_max_fp_df_drops_ubiquitous_fingerprints(self, spark):
+        from ocr_pipeline_spark.operators.dedup import containment_pairs
+
+        shared = "common boilerplate footer text repeated on every page"
+        docs = spark.createDataFrame(
+            [(i, f"{shared} unique{i} tail{i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        # cap below the corpus df of the boilerplate fingerprints:
+        # no candidate pairs survive
+        none = containment_pairs(docs, threshold_bp=0, max_fp_df=5)
+        assert none.count() == 0
+        # uncapped, the boilerplate links every pair
+        some = containment_pairs(docs, threshold_bp=0, max_fp_df=None)
+        assert some.count() > 0
+
+    def test_candidate_join_moves_no_text(self, spark):
+        from ocr_pipeline_spark.operators.dedup import containment_pairs
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        df = containment_pairs(docs)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        for b in buf.getvalue().split("\n\n"):
+            if b.lstrip().startswith("(") and ") Exchange" in b.splitlines()[0]:
+                assert "text#" not in b, b
