@@ -54,7 +54,11 @@ from ocr_pipeline_spark.operators.extraction import (
 )
 from ocr_pipeline_spark.operators.clustering import kmeans_assign
 from ocr_pipeline_spark.operators.collocations import collocations
-from ocr_pipeline_spark.operators.lm import head_split, lm_surprisal
+from ocr_pipeline_spark.operators.lm import (
+    bigram_surprisal,
+    head_split,
+    lm_surprisal,
+)
 from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
@@ -261,6 +265,7 @@ _VALIDATION_PRIORITY = [
     "ts_collocations",
     "sim_rp_reduce",
     "dd_containment",
+    "lm_bigram_surprisal",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -442,6 +447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_head_split": lambda s, d: head_split(
             _t(s, d, "documents"), n_splits=3
         ),
+        # context-aware upgrade: add-one conditional bigram bits after
+        # a unigram first-token start (operators/lm.py:bigram_surprisal)
+        "lm_bigram_surprisal": lambda s, d: bigram_surprisal(
+            _t(s, d, "documents")
+        ).orderBy("doc_id"),
         # "take the best 25%" by soft score — distributed top-k
         # (TakeOrderedAndProject), deterministic via doc_id tie-break;
         # 0.25 is binary-exact so ceil(frac*N) matches across engines
@@ -2393,6 +2403,47 @@ def oracle_sql() -> dict[str, str]:
                        AS surprisal_bp
             FROM ex JOIN lm USING (thash)
             GROUP BY doc_id
+        """,
+        # lm_bigram_surprisal: replay the two count tables + per-entry
+        # bits; DuckDB's positional multi-unnest zips the slice pair
+        # exactly like Spark's zip_with
+        "lm_bigram_surprisal": f"""
+            WITH t AS (SELECT doc_id,
+                         list_transform({_TOKS},
+                           x -> substr(md5(x), 1, 16)) AS hs
+                       FROM documents),
+            ex AS (SELECT doc_id, unnest(hs) AS h FROM t),
+            c AS (SELECT h, cast(count(*) as bigint) AS cnt
+                  FROM ex GROUP BY h),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            ub AS (SELECT h, cnt AS c_a, vocab,
+                     cast(length(bin((n_total + vocab) // (cnt + 1)))
+                          as bigint) AS bits
+                   FROM c CROSS JOIN s),
+            bgp AS (SELECT doc_id,
+                      unnest(hs[1:(len(hs)-1)]) AS a,
+                      unnest(hs[2:len(hs)]) AS b
+                    FROM t WHERE len(hs) >= 2),
+            bgc AS (SELECT a, b, cast(count(*) as bigint) AS c_ab
+                    FROM bgp GROUP BY 1, 2),
+            gb AS (SELECT bgc.a, bgc.b,
+                     cast(length(bin((ub.c_a + ub.vocab) //
+                                     (bgc.c_ab + 1))) as bigint) AS bits
+                   FROM bgc JOIN ub ON bgc.a = ub.h),
+            fb AS (SELECT doc_id, cast(len(hs) as bigint) AS n_toks,
+                          ub.bits AS fbits
+                   FROM t JOIN ub ON hs[1] = ub.h),
+            pb AS (SELECT bgp.doc_id, cast(sum(gb.bits) as bigint)
+                            AS pbits
+                   FROM bgp JOIN gb ON bgp.a = gb.a AND bgp.b = gb.b
+                   GROUP BY 1)
+            SELECT fb.doc_id, fb.n_toks,
+                   cast(fb.fbits + coalesce(pb.pbits, 0) as bigint)
+                     AS sum_bits,
+                   cast((10000 * (fb.fbits + coalesce(pb.pbits, 0)))
+                        // fb.n_toks as bigint) AS surprisal_bp
+            FROM fb LEFT JOIN pb USING (doc_id) ORDER BY doc_id
         """,
         "lm_head_split": f"""
             WITH ex AS (

@@ -79,6 +79,7 @@ EXTENDED = [
     "ts_collocations",
     "sim_rp_reduce",
     "dd_containment",
+    "lm_bigram_surprisal",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

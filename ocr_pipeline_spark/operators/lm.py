@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens
 
-__all__ = ["token_counts", "lm_surprisal", "head_split"]
+__all__ = ["token_counts", "lm_surprisal", "head_split", "bigram_surprisal"]
 
 SCALE_BP = 10_000
 
@@ -149,4 +149,118 @@ def head_split(
         "doc_id",
         "surprisal_bp",
         F.ntile(n_splits).over(w).cast("long").alias("split"),
+    )
+
+
+def _hash_arrays(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, _h token-hash array) — ONE tokenize+hash pass staged as
+    a checkpoint boundary; both the counting aggregations and the
+    per-doc scoring read the materialized arrays (no logical CSE)."""
+    return docs.select(
+        "doc_id",
+        F.transform(
+            tokens(F.col(text_col)), lambda t: _thash(t)
+        ).alias("_h"),
+    ).localCheckpoint(eager=False)
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM surprisal — the context-aware upgrade of
+    ``lm_surprisal`` (a token is cheap when its PREDECESSOR predicts
+    it, not merely when it is corpus-frequent; "york" after "new"
+    scores ~1 bit even if "york" is rare overall).
+
+    Per-position bits, exact integer math (bin()-length floor-log2):
+
+        first token:   u(t1)    = len(bin((N + V)   div (cnt(t1) + 1)))
+        position i>1:  g(b | a) = len(bin((c_a + V) div (c_ab + 1)))
+
+    i.e. add-one-smoothed unigram start + add-one-smoothed CONDITIONAL
+    bigram continuation. Doc score: surprisal_bp = (10000 · Σbits) div
+    n_toks. Both engines evaluate identically (the lm.py recipe).
+
+    Scale shape: the staged hash arrays feed three consumers (unigram
+    counts, bigram counts, per-doc scoring) off one checkpoint; bits
+    are computed per VOCAB/BIGRAM-TABLE entry, not per occurrence; all
+    joins/groupBys move 16-hex hashes and bigint counts. Output:
+    (doc_id, n_toks, sum_bits, surprisal_bp), all bigint.
+    """
+    staged = _hash_arrays(docs, text_col)
+    uni = (
+        staged.select(F.explode_outer("_h").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = uni.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    u_bits = uni.crossJoin(F.broadcast(stats)).select(
+        "h",
+        F.col("vocab").alias("_v"),
+        F.col("cnt").alias("_ca"),
+        F.length(F.bin(F.expr("(n_total + vocab) div (cnt + 1)")))
+        .cast("long")
+        .alias("bits"),
+    )
+    pairs_of = F.expr(
+        "zip_with(slice(_h, 1, greatest(size(_h) - 1, 0)),"
+        "         slice(_h, 2, greatest(size(_h) - 1, 0)),"
+        "         (x, y) -> struct(x AS a, y AS b))"
+    )
+    bg = (
+        staged.select(F.explode_outer(pairs_of).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # conditional bits per distinct bigram: join the predecessor's
+    # unigram count (c_a) + vocab, both already on the u_bits table
+    g_bits = bg.join(
+        u_bits.select(
+            F.col("h").alias("a"),
+            F.col("_ca").alias("c_a"),
+            F.col("_v").alias("vocab"),
+        ),
+        "a",
+    ).select(
+        "a",
+        "b",
+        F.length(F.bin(F.expr("(c_a + vocab) div (c_ab + 1)")))
+        .cast("long")
+        .alias("bits"),
+    )
+    first_bits = (
+        staged.select(
+            "doc_id", F.element_at("_h", 1).alias("h"),
+            F.size("_h").cast("long").alias("n_toks"),
+        )
+        .join(u_bits.select("h", "bits"), "h")
+        .select("doc_id", "n_toks", F.col("bits").alias("fb"))
+    )
+    pair_bits = (
+        staged.select("doc_id", F.explode_outer(pairs_of).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", "p.a", "p.b")
+        .join(g_bits, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.sum("bits").alias("pb"))
+    )
+    return (
+        first_bits.join(pair_bits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("fb") + F.coalesce(F.col("pb"), F.lit(0))).alias(
+                "sum_bits"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_bits",
+            F.expr(f"({SCALE_BP} * sum_bits) div n_toks").alias(
+                "surprisal_bp"
+            ),
+        )
     )

@@ -104,3 +104,54 @@ def test_hash_key_is_md5_prefix():
     assert hashlib.md5(b"the").hexdigest()[:16] == (
         hashlib.md5("the".encode()).hexdigest()[:16]
     )
+
+
+def _py_bigram(rows):
+    norm = [(i, " ".join(t.lower().split())) for i, t in rows]
+    toks = {i: n.split(" ") for i, n in norm}
+    uni: dict[str, int] = {}
+    bg: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    n_total, vocab = sum(uni.values()), len(uni)
+    out = {}
+    for i, ts in toks.items():
+        bits = ((n_total + vocab) // (uni[ts[0]] + 1)).bit_length()
+        for a, b in zip(ts, ts[1:]):
+            bits += ((uni[a] + vocab) // (bg[(a, b)] + 1)).bit_length()
+        out[i] = (len(ts), bits, (10000 * bits) // len(ts))
+    return out
+
+
+def test_bigram_matches_python_spec(spark, docs):
+    from ocr_pipeline_spark.operators.lm import bigram_surprisal
+
+    want = _py_bigram(DOCS)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["sum_bits"], r["surprisal_bp"])
+        for r in bigram_surprisal(docs).collect()
+    }
+    assert got == want
+
+
+def test_bigram_context_beats_unigram_on_collocations(spark):
+    """'new york' repeated: under the bigram model the continuation is
+    near-free; the unigram model charges full rarity both times."""
+    from ocr_pipeline_spark.operators.lm import (
+        bigram_surprisal,
+        lm_surprisal,
+    )
+
+    rows = [
+        (0, "new york new york new york new york"),
+        (1, "new cat old york red dog big sun"),  # same-ish unigrams, no pattern
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r["doc_id"]: r["surprisal_bp"] for r in bigram_surprisal(df).collect()}
+    un = {r["doc_id"]: r["surprisal_bp"] for r in lm_surprisal(df).collect()}
+    # the repetitive collocation doc must be much cheaper under bigrams
+    assert bg[0] < bg[1]
+    assert bg[0] < un[0]
