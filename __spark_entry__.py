@@ -96,6 +96,7 @@ from ocr_pipeline_spark.operators.bloom import (
 )
 from ocr_pipeline_spark.operators.graph import pagerank
 from ocr_pipeline_spark.operators.index import term_postings
+from ocr_pipeline_spark.operators.links import link_rows, page_edges
 from ocr_pipeline_spark.operators.sketch import (
     cms_estimate,
     cms_state,
@@ -266,6 +267,8 @@ _VALIDATION_PRIORITY = [
     "sim_rp_reduce",
     "dd_containment",
     "lm_bigram_surprisal",
+    "x_links",
+    "g_pagerank_web",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -410,6 +413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncated-half re-ingests — the quote/excerpt detector Jaccard
         # can't express; candidate join moves (fp, doc_id) bigints only
         "dd_containment": lambda s, d: _dd_containment(s, d),
+        # anchor-link harvesting (operators/links.py) over the
+        # deterministic synth corpus — kernel-is-spec VALUES oracle
+        "x_links": lambda s, d: link_rows(_synth_pages_df(s)).orderBy(
+            "src", "link_idx"
+        ),
+        # PageRank over the EXTRACTED page graph (links -> page_edges ->
+        # graph.pagerank): the full extraction-to-ranking composition
+        "g_pagerank_web": lambda s, d: pagerank(
+            page_edges(_synth_pages_df(s)), n_iters=3
+        ).orderBy("node"),
         # bigram collocation mining (operators/collocations.py): top-50
         # adjacent pairs by fixed-point observed/expected lift — the
         # boilerplate-phrase detector; exact bigint math end to end
@@ -969,6 +982,67 @@ def _cur_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKS_EXPECTED: dict = {}
+
+
+def _links_expected(n: int = 150, seed: int = 42):
+    """Pure-Python linkkit run over the deterministic synth pages — the
+    expected (src, link_idx, href, resolved) rows for the x_links /
+    g_pagerank_web oracles (the _extract_expected pattern)."""
+    key = (n, seed)
+    if key not in _LINKS_EXPECTED:
+        from ocr_pipeline_spark.kernels.extract import (
+            DEFAULT_MAX_PAYLOAD_BYTES,
+        )
+        from ocr_pipeline_spark.kernels.htmlkit import decode_payload
+        from ocr_pipeline_spark.kernels.linkkit import (
+            extract_links,
+            resolve_href,
+        )
+
+        pdf = synth_pages(n, seed=seed)
+        rows = []
+        for url, payload in zip(pdf.url, pdf.html):
+            if payload is None or len(payload) == 0:
+                continue
+            if payload[:5] == b"%PDF-":
+                continue
+            doc, _ = decode_payload(
+                bytes(payload)[:DEFAULT_MAX_PAYLOAD_BYTES]
+            )
+            for i, href in enumerate(extract_links(doc)):
+                rows.append((url, i, href, resolve_href(url, href)))
+        _LINKS_EXPECTED[key] = rows
+    return _LINKS_EXPECTED[key]
+
+
+def _x_links_oracle() -> str:
+    rows = ", ".join(
+        f"('{_sql_quote(u)}', {i}, '{_sql_quote(h)}', "
+        + ("NULL" if r is None else f"'{_sql_quote(r)}'")
+        + ")"
+        for u, i, h, r in _links_expected()
+    )
+    return f"""
+        SELECT src, link_idx::INTEGER AS link_idx, href, resolved
+        FROM (VALUES {rows}) t(src, link_idx, href, resolved)
+        ORDER BY src, link_idx
+    """
+
+
+def _g_pagerank_web_oracle() -> str:
+    from ocr_pipeline_spark.operators.textstats import token_hash48
+
+    edges = ", ".join(
+        f"({token_hash48(u)}, {token_hash48(r)})"
+        for u, _, _, r in _links_expected()
+        if r is not None
+    )
+    return _pagerank_cte_chain(
+        f"SELECT src, dst FROM (VALUES {edges}) t(src, dst)"
+    )
+
+
 def _dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment pairs over documents + 5 planted truncated halves
     (doc_id+2_000_000 carries the first half of doc_id<5's tokens) —
@@ -1017,10 +1091,10 @@ def _g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_click_edges(spark, sf_dir), n_iters=3).orderBy("node")
 
 
-def _pagerank_oracle(n_iters: int = 3) -> str:
-    """g_pagerank oracle: unroll the fixed-point iterations as chained
-    CTEs — same integer ops as operators/graph.pagerank (div-per-edge,
-    sum, damp), same uniform start."""
+def _pagerank_cte_chain(edges_sql: str, n_iters: int = 3) -> str:
+    """Unrolled fixed-point PageRank over any ``edges_sql`` CTE body
+    (columns src, dst) — same integer ops as operators/graph.pagerank
+    (div-per-edge, sum, damp), same uniform start."""
     its = []
     for i in range(1, n_iters + 1):
         p = i - 1
@@ -1033,12 +1107,7 @@ def _pagerank_oracle(n_iters: int = 3) -> str:
                             as bigint) AS rank_bp
                      FROM nodes n LEFT JOIN c{i} USING (node))""")
     return f"""
-        WITH ev AS (SELECT user_id, ts, event_id,
-                      json_extract_string(props, '$.k')::BIGINT AS src
-                    FROM events),
-        tr AS (SELECT src, lead(src) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS dst FROM ev),
-        edges AS (SELECT src, dst FROM tr WHERE dst IS NOT NULL),
+        WITH edges AS ({edges_sql}),
         nodes AS (SELECT DISTINCT src AS node FROM edges
                   UNION SELECT DISTINCT dst FROM edges),
         deg AS (SELECT src, cast(count(*) as bigint) AS outdeg
@@ -1049,6 +1118,20 @@ def _pagerank_oracle(n_iters: int = 3) -> str:
         {",".join(its)}
         SELECT node, rank_bp FROM r{n_iters} ORDER BY node
     """
+
+
+def _pagerank_oracle(n_iters: int = 3) -> str:
+    """g_pagerank oracle: the click-transition edge derivation feeding
+    the shared iteration chain."""
+    edges = """
+        SELECT src, dst FROM (
+          SELECT json_extract_string(props, '$.k')::BIGINT AS src,
+                 lead(json_extract_string(props, '$.k')::BIGINT)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS dst
+          FROM events) t WHERE dst IS NOT NULL
+    """
+    return _pagerank_cte_chain(edges, n_iters)
 
 
 def _w_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3374,6 +3457,8 @@ def oracle_sql() -> dict[str, str]:
         # Spark UDFs call, inlined as VALUES (binary payloads — not
         # expressible over the pre-registered views)
         "sim_rp_reduce": _rp_oracle(),
+        "x_links": _x_links_oracle(),
+        "g_pagerank_web": _g_pagerank_web_oracle(),
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),
         "mm_frames": _mm_frames_oracle(),

@@ -80,6 +80,8 @@ EXTENDED = [
     "sim_rp_reduce",
     "dd_containment",
     "lm_bigram_surprisal",
+    "x_links",
+    "g_pagerank_web",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
