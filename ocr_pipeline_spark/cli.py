@@ -158,6 +158,34 @@ def _cmd_report(args) -> None:
         print(f"{r['metric']}\t{r['value']}")
 
 
+def _cmd_links(args) -> None:
+    from .operators.links import link_rows
+
+    spark = get_spark("cli-links", cores=args.cores)
+    pages = spark.read.parquet(args.input)
+    link_rows(pages).write.mode(args.mode).parquet(args.out)
+    print(f"wrote link table to {args.out}")
+
+
+def _cmd_rank(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .operators.graph import pagerank
+    from .operators.links import page_edges
+
+    spark = get_spark("cli-rank", cores=args.cores)
+    pages = spark.read.parquet(args.input)
+    ranks = pagerank(page_edges(pages), n_iters=args.iters)
+    if args.out:
+        ranks.write.mode(args.mode).parquet(args.out)
+        print(f"wrote {ranks.count()} page ranks to {args.out}")
+    else:
+        for r in ranks.orderBy(F.desc("rank_bp"), "node").limit(
+            args.top
+        ).collect():
+            print(f"{r['node']}\t{r['rank_bp']}")
+
+
 def _cmd_warc(args) -> None:
     from .sources.warc import read_warc
 
@@ -261,6 +289,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True)
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=_cmd_report)
+
+    p = sub.add_parser(
+        "links", help="harvest anchor links from a pages table"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", default="overwrite")
+    p.set_defaults(fn=_cmd_links)
+
+    p = sub.add_parser(
+        "rank", help="PageRank over the extracted page graph"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--mode", default="overwrite")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--top", type=int, default=20)
+    p.set_defaults(fn=_cmd_rank)
 
     p = sub.add_parser("warc", help="ingest WARC archives into a pages table")
     p.add_argument("--input", required=True)

@@ -20,6 +20,9 @@ def test_parser_subcommands():
         ["tokenize", "--input", "a", "--out", "b"],
         ["score", "--input", "a", "--out", "b"],
         ["profile", "--input", "a"],
+        ["links", "--input", "a", "--out", "b"],
+        ["rank", "--input", "a"],
+        ["rank", "--input", "a", "--out", "b", "--iters", "2"],
         ["report", "--input", "a"],
         ["stream-curate", "--input", "a", "--out", "b",
          "--checkpoint", "c"],
@@ -123,3 +126,19 @@ def test_stream_curate_cli_end_to_end(spark, tmp_path):
         ]
     )
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+def test_links_and_rank_cli(spark, tmp_path, capfd):
+    from ocr_pipeline_spark.cli import main
+
+    pages = str(tmp_path / "pages")
+    main(["synth", "--out", pages, "-n", "60"])
+    links = str(tmp_path / "links")
+    main(["links", "--input", pages, "--out", links])
+    got = spark.read.parquet(links)
+    assert got.count() > 0
+    assert set(got.columns) == {"src", "link_idx", "href", "resolved"}
+    capfd.readouterr()
+    main(["rank", "--input", pages, "--top", "3"])
+    out = capfd.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and all("\t" in line for line in out)
