@@ -57,6 +57,7 @@ from ocr_pipeline_spark.operators.collocations import collocations
 from ocr_pipeline_spark.operators.lm import (
     bigram_surprisal,
     head_split,
+    head_split_approx,
     lm_surprisal,
 )
 from ocr_pipeline_spark.operators.lineage import diff_extractions
@@ -269,6 +270,7 @@ _VALIDATION_PRIORITY = [
     "lm_bigram_surprisal",
     "x_links",
     "g_pagerank_web",
+    "lm_head_split_approx",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -460,6 +462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_head_split": lambda s, d: head_split(
             _t(s, d, "documents"), n_splits=3
         ),
+        # the SCALE form of head_split: threshold assignment from the
+        # mergeable histogram sketch — no global ntile sort
+        "lm_head_split_approx": lambda s, d: head_split_approx(
+            _t(s, d, "documents"), n_splits=3
+        ).orderBy("doc_id"),
         # context-aware upgrade: add-one conditional bigram bits after
         # a unigram first-token start (operators/lm.py:bigram_surprisal)
         "lm_bigram_surprisal": lambda s, d: bigram_surprisal(
@@ -2486,6 +2493,46 @@ def oracle_sql() -> dict[str, str]:
                        AS surprisal_bp
             FROM ex JOIN lm USING (thash)
             GROUP BY doc_id
+        """,
+        # lm_head_split_approx: lm surprisal CTEs + the sk_quantiles
+        # histogram recipe (divide-first width, cum*10^4 >= p*n cut
+        # bins) + bin-rank assignment — same integer ops end to end
+        "lm_head_split_approx": f"""
+            WITH ex AS (
+              SELECT doc_id, substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            c AS (SELECT thash, count(*) AS cnt FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            lm AS (SELECT thash,
+                     length(bin((n_total + vocab) // (cnt + 1))) AS bits
+                   FROM c CROSS JOIN s),
+            sc AS (SELECT doc_id,
+                     cast((10000 * sum(bits)) // count(*) as bigint) AS v
+                   FROM ex JOIN lm USING (thash) GROUP BY doc_id),
+            b AS (SELECT min(v) AS lo, max(v) AS hi FROM sc),
+            wd AS (SELECT lo, (hi - lo + 64) // 64 AS w FROM b),
+            binned AS (SELECT doc_id, v, lo, w, (v - lo) // w AS bin
+                       FROM sc CROSS JOIN wd),
+            state AS (SELECT bin, count(*) AS cnt
+                      FROM binned GROUP BY bin),
+            cdf AS (SELECT bin,
+                      sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+                      sum(cnt) OVER () AS n
+                    FROM state),
+            th AS (SELECT
+                     min(CASE WHEN cum * 10000 >= 3333 * n
+                         THEN bin END) AS b0,
+                     min(CASE WHEN cum * 10000 >= 6666 * n
+                         THEN bin END) AS b1
+                   FROM cdf)
+            SELECT doc_id, v AS surprisal_bp,
+                   cast(1 + (CASE WHEN bin > b0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN bin > b1 THEN 1 ELSE 0 END)
+                        as bigint) AS split
+            FROM binned CROSS JOIN th ORDER BY doc_id
         """,
         # lm_bigram_surprisal: replay the two count tables + per-entry
         # bits; DuckDB's positional multi-unnest zips the slice pair

@@ -82,6 +82,7 @@ EXTENDED = [
     "lm_bigram_surprisal",
     "x_links",
     "g_pagerank_web",
+    "lm_head_split_approx",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

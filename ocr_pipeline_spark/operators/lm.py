@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens
 
-__all__ = ["token_counts", "lm_surprisal", "head_split", "bigram_surprisal"]
+__all__ = ["token_counts", "lm_surprisal", "head_split", "bigram_surprisal", "head_split_approx"]
 
 SCALE_BP = 10_000
 
@@ -268,4 +268,69 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "surprisal_bp"
             ),
         )
+    )
+
+
+def head_split_approx(
+    docs: DataFrame, n_splits: int = 3, text_col: str = "text", bins: int = 64
+) -> DataFrame:
+    """The SCALE form of ``head_split``: threshold assignment from the
+    mergeable fixed-bin histogram sketch (operators/sketch.
+    hist_quantiles) instead of a global ntile sort — two scan-local
+    passes over (doc_id, surprisal_bp) pairs plus a ≤``bins``-cell
+    aggregate; no global window, so it survives 10^12 docs where the
+    exact ntile cannot (head_split's own docstring promises this path;
+    this is it).
+
+    Assignment is BIN-exact and engine-portable: split(v) = 1 + number
+    of quantile-threshold BINS strictly below v's bin, where the
+    thresholds are the histogram's p = k/n_splits cut bins. Ties inside
+    a threshold bin all land in the lower split (deterministic;
+    boundary error ≤ one bin width by the hist_quantiles contract —
+    split POPULATIONS are approximately equal, unlike ntile's exact
+    deal).
+
+    Output: (doc_id, surprisal_bp, split) — split bigint 1..n_splits.
+    """
+    from .sketch import hist_quantiles
+
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1, got {n_splits}")
+    scored = lm_surprisal(docs, text_col=text_col).localCheckpoint(
+        eager=False
+    )
+    ps = tuple(
+        (k * SCALE_BP) // n_splits for k in range(1, n_splits)
+    )
+    hist = hist_quantiles(
+        scored.withColumn("_g", F.lit(1)),
+        "_g",
+        "surprisal_bp",
+        bins=bins,
+        ps_bp=ps,
+    )
+    # threshold bins: b_p = (est_p - lo) div w, exact by construction
+    thr_cols = [
+        # hist_quantiles sanitizes the percentage into the column name
+        # (est_p33_33) — reproduce its naming rule
+        F.expr(
+            "(`"
+            + f"est_p{p / 100:g}".replace(".", "_")
+            + "` - lo_value) div bin_width"
+        ).alias(f"_b{k}")
+        for k, p in enumerate(ps)
+    ]
+    thresholds = hist.select(
+        F.col("lo_value").alias("_lo"),
+        F.col("bin_width").alias("_w"),
+        *thr_cols,
+    )
+    out = scored.crossJoin(F.broadcast(thresholds))
+    split_expr = F.lit(1)
+    for k in range(len(ps)):
+        split_expr = split_expr + (
+            F.expr("(surprisal_bp - _lo) div _w") > F.col(f"_b{k}")
+        ).cast("long")
+    return out.select(
+        "doc_id", "surprisal_bp", split_expr.cast("long").alias("split")
     )

@@ -155,3 +155,31 @@ def test_bigram_context_beats_unigram_on_collocations(spark):
     # the repetitive collocation doc must be much cheaper under bigrams
     assert bg[0] < bg[1]
     assert bg[0] < un[0]
+
+
+def test_head_split_approx_properties(spark, docs):
+    """Approx split: a partition into 1..n, monotone in surprisal up to
+    one histogram bin, and near-equal populations on the real corpus."""
+    from ocr_pipeline_spark.operators.lm import head_split_approx
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = head_split_approx(corpus, n_splits=3).collect()
+    splits = {r["split"] for r in rows}
+    assert splits <= {1, 2, 3} and len(rows) == corpus.count()
+    # monotone: every split-1 doc scores <= every split-3 doc
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], []).append(r["surprisal_bp"])
+    assert max(by[1]) <= min(by[3])
+    # populations within 2x of each other (one-bin boundary error)
+    sizes = sorted(len(v) for v in by.values())
+    assert sizes[-1] <= 2 * sizes[0]
+
+
+def test_head_split_approx_guard(spark, docs):
+    from ocr_pipeline_spark.operators.lm import head_split_approx
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_splits"):
+        head_split_approx(docs, n_splits=0)
