@@ -112,6 +112,7 @@ from ocr_pipeline_spark.operators.splits import (
     pack_sequences,
     reservoir_per_stratum,
     stratified_sample,
+    temperature_shares,
 )
 from ocr_pipeline_spark.operators.layout import (
     ZBITS,
@@ -271,6 +272,7 @@ _VALIDATION_PRIORITY = [
     "x_links",
     "g_pagerank_web",
     "lm_head_split_approx",
+    "sp_mix_temperature",
     # last green row is r2 (fell past r3's 50-row cap, definitions
     # unchanged) — rotated to the front so every query has a green row
     # in r3 ∪ r4
@@ -748,6 +750,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data mixing: per-source sampling rates hit target token
         # shares under a 2000-token budget (src3 at 10000bp exercises
         # the take-everything cap); exact bigint arithmetic throughout
+        # temperature-scaled source shares (operators/splits.py:
+        # temperature_shares): T=2 isqrt reweighting in exact integer
+        # math — small sources upweighted vs their natural share
+        "sp_mix_temperature": lambda s, d: temperature_shares(
+            _t(s, d, "documents").select(
+                "doc_id",
+                "source",
+                F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+            ),
+            temperature_x2=4,
+        ).orderBy("source"),
         "sp_mix_budget": lambda s, d: mix_token_budget(
             _t(s, d, "documents").select(
                 "doc_id",
@@ -3139,6 +3152,41 @@ def oracle_sql() -> dict[str, str]:
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
                    event_type, count(*) AS n_docs
             FROM events GROUP BY 1, 2, 3
+        """,
+        # sp_mix_temperature: exact isqrt via floor(sqrt)+integer
+        # correction (float sqrt floor error <= 1 below 2^53; the
+        # comparisons that fix it are pure bigint on both engines)
+        "sp_mix_temperature": f"""
+            WITH d AS (SELECT source,
+                              cast(len({_TOKS}) as bigint) AS n_toks
+                       FROM documents),
+            t AS (SELECT source, cast(sum(n_toks) as bigint) AS n_toks
+                  FROM d GROUP BY 1),
+            tw AS (SELECT source, n_toks,
+                     cast((cast(floor(sqrt(n_toks)) as bigint)
+                           - (CASE WHEN cast(floor(sqrt(n_toks)) as bigint)
+                                      * cast(floor(sqrt(n_toks)) as bigint)
+                                      > n_toks THEN 1 ELSE 0 END))
+                          + (CASE WHEN
+                               ((cast(floor(sqrt(n_toks)) as bigint)
+                                 - (CASE WHEN
+                                      cast(floor(sqrt(n_toks)) as bigint)
+                                      * cast(floor(sqrt(n_toks)) as bigint)
+                                      > n_toks THEN 1 ELSE 0 END)) + 1)
+                               * ((cast(floor(sqrt(n_toks)) as bigint)
+                                 - (CASE WHEN
+                                      cast(floor(sqrt(n_toks)) as bigint)
+                                      * cast(floor(sqrt(n_toks)) as bigint)
+                                      > n_toks THEN 1 ELSE 0 END)) + 1)
+                               <= n_toks THEN 1 ELSE 0 END)
+                          as bigint) AS w
+                   FROM t),
+            s AS (SELECT cast(sum(w) as bigint) AS sw,
+                         cast(sum(n_toks) as bigint) AS sn FROM tw)
+            SELECT source, n_toks, w,
+                   cast((10000 * w) // sw as bigint) AS share_bp,
+                   cast((10000 * n_toks) // sn as bigint) AS natural_bp
+            FROM tw CROSS JOIN s ORDER BY source
         """,
         "sp_mix_budget": f"""
             WITH d AS (SELECT doc_id, source, cast(len({_TOKS}) as bigint)

@@ -83,6 +83,7 @@ EXTENDED = [
     "x_links",
     "g_pagerank_web",
     "lm_head_split_approx",
+    "sp_mix_temperature",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .textstats import _token_hash
 
 __all__ = [
+    "temperature_shares",
     "epoch_shuffle",
     "mix_token_budget",
     "write_epoch_shards",
@@ -406,4 +407,62 @@ def write_epoch_shards(
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_path)
+    )
+
+
+def _isqrt_exact(n: str) -> "F.Column":
+    """Exact integer sqrt of a non-negative bigint column, portable:
+    float sqrt is correctly rounded (error ≤ 1 on the floor for
+    n < 2^53), so one down/up correction with INTEGER comparisons makes
+    the result exact in every engine — no float appears in the output.
+    DuckDB replays the identical three steps."""
+    s0 = f"cast(floor(sqrt({n})) as bigint)"
+    s1 = f"({s0} - (CASE WHEN {s0} * {s0} > {n} THEN 1 ELSE 0 END))"
+    return F.expr(
+        f"{s1} + (CASE WHEN ({s1} + 1) * ({s1} + 1) <= {n}"
+        " THEN 1 ELSE 0 END)"
+    )
+
+
+def temperature_shares(docs: DataFrame, temperature_x2: int = 4) -> DataFrame:
+    """Temperature-scaled source-mixing shares — the multilingual /
+    multi-source rebalancing rule (mC4, LLaMA: sample source i with
+    probability ∝ n_i^(1/T)); T>1 upweights small sources so the head
+    domain cannot drown the tail.
+
+    Exact arithmetic restricts T to halves: ``temperature_x2`` = 2T,
+    so 4 → T=2 (w = isqrt(n), the standard choice), 2 → T=1 (natural
+    shares), 8 → T=4 (w = isqrt(isqrt(n))). n^(1/T) for other T needs
+    floats and is not cross-engine checkable; T ∈ {1, 2, 4} covers the
+    published configurations.
+
+    Output: (source, n_toks, w, share_bp, natural_bp) — all bigint;
+    share_bp = (10000·w) div Σw is the temperature-scaled sampling
+    share, natural_bp the unscaled one, so the rebalancing is visible
+    per row. Scale shape: one partial-agg shuffle of (source, count)
+    pairs; the Σ scalars are a 1-row broadcast.
+    """
+    if temperature_x2 not in (2, 4, 8):
+        raise ValueError(
+            f"temperature_x2 must be 2, 4 or 8 (T=1,2,4): {temperature_x2}"
+        )
+    totals = docs.groupBy("source").agg(
+        F.sum("n_toks").alias("n_toks")
+    )
+    w = F.col("n_toks")
+    if temperature_x2 >= 4:
+        totals = totals.withColumn("w", _isqrt_exact("n_toks"))
+        if temperature_x2 == 8:
+            totals = totals.withColumn("w", _isqrt_exact("w"))
+    else:
+        totals = totals.withColumn("w", w)
+    sums = totals.agg(
+        F.sum("w").alias("_sw"), F.sum("n_toks").alias("_sn")
+    )
+    return totals.crossJoin(F.broadcast(sums)).select(
+        "source",
+        "n_toks",
+        "w",
+        F.expr("(10000 * w) div _sw").alias("share_bp"),
+        F.expr("(10000 * n_toks) div _sn").alias("natural_bp"),
     )

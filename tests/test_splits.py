@@ -293,3 +293,68 @@ def test_write_epoch_shards_rejects_reserved_columns(spark, tmp_path):
     clash = docs.withColumn("shard", docs.doc_id % 2)
     with pytest.raises(ValueError, match="shard"):
         write_epoch_shards(clash, str(tmp_path / "x"))
+
+
+class TestTemperatureShares:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_toks long"
+        )
+
+    def test_isqrt_exactness_and_t1_identity(self, spark):
+        from ocr_pipeline_spark.operators.splits import temperature_shares
+
+        import math
+
+        rows = [
+            (i, f"s{i}", n)
+            for i, n in enumerate(
+                [0, 1, 2, 3, 4, 99, 100, 101, 10**6 - 1, 10**6, 10**12 + 7]
+            )
+        ]
+        got = {
+            r["source"]: r["w"]
+            for r in temperature_shares(
+                self._df(spark, rows), temperature_x2=4
+            ).collect()
+        }
+        for i, (_, s, n) in enumerate(rows):
+            assert got[s] == math.isqrt(n), (s, n)
+        # T=1: weights are the token counts themselves
+        t1 = {
+            r["source"]: (r["w"], r["share_bp"], r["natural_bp"])
+            for r in temperature_shares(
+                self._df(spark, rows), temperature_x2=2
+            ).collect()
+        }
+        for s, (w, sh, nat) in t1.items():
+            assert sh == nat
+
+    def test_temperature_flattens_shares(self, spark):
+        from ocr_pipeline_spark.operators.splits import temperature_shares
+
+        rows = [(0, "big", 1_000_000), (1, "small", 10_000)]
+        got = {
+            r["source"]: r
+            for r in temperature_shares(
+                self._df(spark, rows), temperature_x2=4
+            ).collect()
+        }
+        # T=2 lifts the small source above its natural share and the
+        # T=4 form flattens further
+        assert got["small"]["share_bp"] > got["small"]["natural_bp"]
+        t4 = {
+            r["source"]: r["share_bp"]
+            for r in temperature_shares(
+                self._df(spark, rows), temperature_x2=8
+            ).collect()
+        }
+        assert t4["small"] > got["small"]["share_bp"]
+
+    def test_temperature_guard(self, spark):
+        from ocr_pipeline_spark.operators.splits import temperature_shares
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="temperature_x2"):
+            temperature_shares(self._df(spark, [(0, "a", 1)]), 3)
