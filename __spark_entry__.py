@@ -244,76 +244,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # previously-validated, since-unchanged queries keep their prior-round rows
 # and can safely sit past the cutoff.
 _VALIDATION_PRIORITY = [
-    # r3 hash-red (oracle output-type fix landed in r4: HUGEINT/DECIMAL
-    # output columns cast to bigint/double — values were already equal;
-    # pinned by tests/test_entry.py::test_oracle_output_dtypes)
-    "qc_bucket_weights",
-    "qc_scores",
-    "qc_top_fraction",
-    "sp_mix_budget",
-    "p_unpivot",
-    # definition changed in r4 (HOF trigram scan → broadcast-join lookup)
-    "ts_langid_ngram",
-    # new in round 4 — never driver-run yet
-    "sp_reservoir",
-    "cur_domain_cap",
-    "sk_quantiles",
-    "a_grouping_sets",
-    "lm_doc_surprisal",
-    "lm_head_split",
-    "sk_bloom",
+    # r4 hash-red — driver canonicalizer cannot sort/hash list columns;
+    # r5 packs both array outputs to canonical joined strings on both
+    # engine sides (the media_features_packed rule, now pinned for all
+    # oracles by tests/test_entry.py::test_oracle_output_dtypes).
+    # Values were already pytest-green; this converts them to driver
+    # evidence.
     "ix_postings",
-    "g_pagerank",
-    "cur_bloom_gate",
-    "ts_collocations",
     "sim_rp_reduce",
-    "dd_containment",
-    "lm_bigram_surprisal",
-    "x_links",
-    "g_pagerank_web",
-    "lm_head_split_approx",
-    "sp_mix_temperature",
-    # last green row is r2 (fell past r3's 50-row cap, definitions
-    # unchanged) — rotated to the front so every query has a green row
-    # in r3 ∪ r4
-    "a1_explode_tokens",
-    "ts_token_stats",
-    "ts_quality_flags",
-    "ts_langid",
-    "ts_langid_multi",
-    "ts_repetition",
-    "sk_distinct_tokens",
-    "ts_tfidf_top",
-    "ts_pii_scrub",
-    "dd_exact",
-    "dd_minhash",
-    "dd_simhash",
-    "dd_simhash_pairs",
-    "dd_lsh_pairs",
-    "dd_simhash_clusters",
-    "dd_jaccard_bucket",
-    "fp_rolling",
-    "fp_winnow",
-    "sim_topk_bruteforce",
-    "sim_near_dup",
-    "sim_ann_topk",
-    "sim_ivf_topk",
-    "sim_topk_arrow",
-    "dd_dup_clusters",
-    "mm_decode_meta",
-    "mm_frames",
+    # new in round 5 — never driver-run yet
+    "cur_stream_parity",
+    "sim_ivf_trained",
+    # newest green row is r2 (fell past the r3/r4 50-row caps,
+    # definitions unchanged) — stalest set, rotated to the front so
+    # every query has a green row in r4 ∪ r5
     "mm_features",
-    "cur_exact_keep",
-    "cur_full_keep",
-    "cur_incremental",
-    "st_window_counts",
     "url_canonical",
-    "sp_hash_split",
-    "sp_stratified",
-    "sp_pack",
+    "st_window_counts",
     "t_asof_last_click",
     "t_interval_clicks",
     "t_sessions",
+    "sp_hash_split",
+    "cur_exact_keep",
+    "cur_full_keep",
+    "cur_incremental",
+    "sp_pack",
+    "sp_stratified",
+    # newest green row is r3, not resampled in r4 (definitions
+    # unchanged) — next-stalest, ordered extraction/headline first
+    "x_extract_fused",
+    "x_extract_blocks",
+    "x_extract_regroup",
+    "x_refine_sentences",
+    "x_debug_overlay",
+    "x_tsv_lines",
+    "x_diff_runs",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "p_filter_project",
+    "p_hot_domains",
+    "p_json_extract",
+    "j3_regroup_order",
+    "j4_anti_customers",
+    "j_full_outer",
+    "o4_top_order_per_cust",
+    "a5_error_rate",
+    "a6_metrics_rollup",
+    "a_percentiles",
+    "a_pivot_daily",
+    "a_rollup_stats",
+    "w_lead_lag",
+    "w_moving_avg",
+    "w_rank_funcs",
+    "set_common_users",
+    "set_view_not_error",
+    "semi_error_users",
+    "dd_chunk_dedup",
+    "sim_dup_clusters",
+    "sk_heavy_hitters",
+    "ml_kmeans_cells",
+    "ct_contamination",
+    "bpe_merges",
+    "bpe_encode",
+    "sp_epoch_shuffle",
+    "sp_pack_bpe",
+    "sp_zorder",
+    "ts_nfc",
+    "meta_profile",
+    "meta_report",
 ]
 
 
@@ -397,10 +399,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_bloom": lambda s, d: _sk_bloom(s, d),
         # sharded inverted index (operators/index.py): postings rows
         # (term, shard, df_shard, tf_shard, df, postings) for terms in
-        # >= 10 docs; n_shards=2 exercises the stopword-skew bound
+        # >= 10 docs; n_shards=2 exercises the stopword-skew bound.
+        # postings packed array<bigint> -> ','-joined string for the
+        # driver hash (the canonicalizer cannot sort/hash list columns
+        # — the media_features_packed rule, pinned by
+        # test_oracle_output_dtypes); bigint->string cast is exact and
+        # identical in both engines
         "ix_postings": lambda s, d: term_postings(
             _t(s, d, "documents"), n_shards=2, min_df=10
-        ).orderBy("term", "shard"),
+        )
+        .withColumn(
+            "postings",
+            F.array_join(F.col("postings").cast("array<string>"), ","),
+        )
+        .orderBy("term", "shard"),
         # exact fixed-point PageRank (operators/graph.py) over the
         # click-transition graph: per-user consecutive events (ordered
         # by ts, event_id) link their props.k pages; 3 iterations,
@@ -574,10 +586,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Johnson-Lindenstrauss random projection 64d -> 16d
         # (operators/similarity.py:rp_project): scan-local fold dots
-        # against md5-derived planes, rounded 4dp (the cos_sim recipe)
-        "sim_rp_reduce": lambda s, d: rp_project(
-            _t(s, d, "embeddings")
-        ).orderBy("vec_id"),
+        # against md5-derived planes, rounded 4dp (the cos_sim recipe).
+        # rp packed array<double> -> '%.4f'-joined string for the
+        # driver hash (list columns are unhashable there); values are
+        # pre-rounded to 4dp and -0.0-normalized, so the fixed-width
+        # print is unambiguous in both engines
+        "sim_rp_reduce": lambda s, d: rp_project(_t(s, d, "embeddings"))
+        .withColumn(
+            "rp",
+            F.array_join(
+                F.transform("rp", lambda x: F.format_string("%.4f", x)),
+                ",",
+            ),
+        )
+        .orderBy("vec_id"),
         # connected components over LSH pairs → canonical duplicate
         # clusters (iterative pointer-jumping on the Spark side; the
         # oracle replays it as a DuckDB recursive-CTE reachability)
@@ -1669,14 +1691,18 @@ def _rp_oracle(out_dim: int = 16, in_dim: int = 64, seed: int = 7) -> str:
     """sim_rp_reduce oracle: the same md5-derived plane constants
     (imported from operators/similarity._plane_constants, inlined as
     literals), the same sequential fold per component, the same
-    round-4dp + (-0.0 -> +0.0) normalization."""
+    round-4dp + (-0.0 -> +0.0) normalization, packed to a
+    '%.4f'-joined string (printf vs format_string — identical for
+    pre-rounded 4dp doubles) because the driver hash rejects list
+    columns."""
     planes = _plane_constants(out_dim, in_dim, seed)
     comps = ", ".join(
-        f"round({_dot_sql('v', row)}, 4) + 0.0" for row in planes
+        f"printf('%.4f', round({_dot_sql('v', row)}, 4) + 0.0)"
+        for row in planes
     )
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        SELECT vec_id, [{comps}] AS rp FROM e ORDER BY vec_id
+        SELECT vec_id, concat_ws(',', {comps}) AS rp FROM e ORDER BY vec_id
     """
 
 
@@ -2836,7 +2862,9 @@ def oracle_sql() -> dict[str, str]:
             packed AS (SELECT term, doc_id % 2 AS shard,
                               cast(count(*) as bigint) AS df_shard,
                               cast(sum(tf) as bigint) AS tf_shard,
-                              list(doc_id ORDER BY doc_id) AS postings
+                              coalesce(array_to_string(
+                                  list(doc_id ORDER BY doc_id), ','),
+                                  '') AS postings
                        FROM td GROUP BY 1, 2),
             g AS (SELECT *, cast(sum(df_shard) OVER (PARTITION BY term)
                                  as bigint) AS df

@@ -133,11 +133,15 @@ def test_oracle_output_dtypes(duck, name):
     division, double for money via the lossless decimal(18,2) recipe).
     """
     for cname, ctype, *_ in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall():
-        base = ctype[:-2] if ctype.endswith("[]") else ctype
-        assert base in _ALLOWED_ORACLE_DTYPES, (
-            f"{name}.{cname} is {ctype} — HUGEINT/DECIMAL/etc. breaks "
-            f"the driver hash; cast the output column (CLAUDE.md parity "
-            f"recipes)"
+        # NO list/array dtypes either: the driver canonicalizer
+        # sort_values-es every output column and lists are unhashable
+        # there (TypeError) — the r4 ix_postings/sim_rp_reduce bug
+        # class. Pack arrays to a canonical joined string on BOTH
+        # sides (CLAUDE.md parity recipes).
+        assert ctype in _ALLOWED_ORACLE_DTYPES, (
+            f"{name}.{cname} is {ctype} — HUGEINT/DECIMAL/array/etc. "
+            f"breaks the driver hash; cast or pack the output column "
+            f"(CLAUDE.md parity recipes)"
         )
 
 
