@@ -26,9 +26,9 @@ Scale shape:
 - one tokenize pass feeds BOTH counters: the token-array projection is
   lazily localCheckpointed (lm.py/classifier precedent — Catalyst has
   no logical CSE and would re-tokenize per consumer).
-- bigram pairing is scan-local (zip_with over the in-row array — no
-  self-join on position); shuffles move (a, b, partial-count) short
-  token pairs, never document text.
+- bigram pairing is scan-local (arrays_zip over the in-row array — no
+  self-join on position, no lambda HOF, stays in codegen); shuffles
+  move (a, b, partial-count) short token pairs, never document text.
 - the (N,) corpus scalar is a 1-row broadcast crossJoin; top-k is a
   distributed TakeOrderedAndProject (classifier.select_top_fraction
   precedent), never a global sort.
@@ -74,11 +74,19 @@ def collocations(
     total = uni.agg(F.sum("c").alias("n_total"))
     pairs = (
         staged.select(
+            # lambda-free arrays_zip stays inside whole-stage codegen;
+            # the zip_with(.., (x,y) -> struct(..)) equivalent is
+            # CodegenFallback (interpreted per execution — the lm.py
+            # bigram measurement). _t is a checkpoint read, so the
+            # three references are cheap re-reads.
             F.explode_outer(
-                F.expr(
-                    "zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
-                    "         slice(_t, 2, greatest(size(_t) - 1, 0)),"
-                    "         (x, y) -> struct(x AS a, y AS b))"
+                F.arrays_zip(
+                    F.slice(
+                        F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))
+                    ).alias("a"),
+                    F.slice(
+                        F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))
+                    ).alias("b"),
                 )
             ).alias("p")
         )
