@@ -52,7 +52,11 @@ from ocr_pipeline_spark.operators.extraction import (
     regroup_blocks,
     segment_pages,
 )
-from ocr_pipeline_spark.operators.clustering import kmeans_assign
+from ocr_pipeline_spark.operators.clustering import (
+    KM_SCALE,
+    kmeans_assign,
+    kmeans_centroids,
+)
 from ocr_pipeline_spark.operators.collocations import collocations
 from ocr_pipeline_spark.operators.lm import (
     bigram_surprisal,
@@ -159,7 +163,10 @@ from ocr_pipeline_spark.operators.textstats import (
     token_stats,
     winnow_fingerprints,
 )
-from ocr_pipeline_spark.streaming import stream_window_counts
+from ocr_pipeline_spark.streaming import (
+    start_curate_stream,
+    stream_window_counts,
+)
 from ocr_pipeline_spark.sources.synth_pages import PAGES_SCHEMA, synth_pages
 
 # ---------------------------------------------------------------------------
@@ -577,6 +584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": lambda s, d: ivf_topk(
             _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
         ),
+        # the production ANN path: IVF under the k-means-TRAINED
+        # codebook (exact fixed-point centroids → both engines derive
+        # the identical codebook; bench.py measures its recall gain
+        # over the md5 zero-training baseline). n_probe=4 of 8 cells.
+        "sim_ivf_trained": _sim_ivf_trained,
         # numpy/Arrow GEMM variant — shares the fold oracle: both round
         # to 4 decimals before ranking (round-then-rank), absorbing the
         # BLAS-vs-fold summation delta; agreement also asserted in
@@ -713,6 +725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # append-mode curation: odd doc_ids are the "daily increment",
         # even doc_ids the already-kept corpus (known fingerprints only)
         "cur_incremental": _cur_incremental,
+        # streaming curation replayed as real micro-batches vs the
+        # batch definition — the dual-definition equivalence the pytest
+        # streaming suite checks, surfaced to the driver's value gate
+        "cur_stream_parity": _cur_stream_parity,
         # -- streaming operator in batch mode (identical plan) -------------
         "st_window_counts": lambda s, d: stream_window_counts(
             _t(s, d, "events"), ts_col="ts", key_col="event_type"
@@ -1549,6 +1565,28 @@ def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def _sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under a k-means-TRAINED codebook (the production ANN
+    path; sim_ivf_topk pins the md5 zero-training baseline). The exact
+    fixed-point trainer (clustering.kmeans_centroids) makes the learned
+    codebook bit-identical across engines, so the oracle can re-derive
+    it in SQL; the rescale/normalize steps here are the exact IEEE
+    sequence the oracle replays (x/1e6, sequential-fold sum of squares,
+    math.sqrt — correctly rounded, like DuckDB's sqrt — then x/norm).
+    Mirrors bench.py's trained-codebook construction."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    trained = []
+    for _, cv in sorted(kmeans_centroids(emb, k=8, iters=3).items()):
+        row = [x / KM_SCALE for x in cv]
+        nrm = math.sqrt(sum(x * x for x in row))
+        trained.append([x / nrm for x in row])
+    return ivf_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=5, n_probe=4, centroids=trained
+    )
+
+
 def _cur_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-mode curation: the even-doc_id half plays the existing
     kept corpus (its content fingerprints are the ONLY thing carried
@@ -1563,6 +1601,69 @@ def _cur_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         langs=("en",),
         dedup="exact",
     ).select("doc_id")
+
+
+def _cur_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-definition check for the streaming curation path (the
+    reference's micro-batch bucket/trigger loop, message_queue/
+    bucket.py:16-54, rebuilt as Structured Streaming): replay the
+    documents table through start_curate_stream as REAL incremental
+    micro-batches (4 input shards, maxFilesPerTrigger=1, availableNow
+    drain — state carries across batches) and emit per-fingerprint keep
+    counts. The oracle is the BATCH definition: the distinct content
+    fingerprints passing the same quality gates, n_kept=1 each — the
+    driver thereby checks that the replayed stream keeps exactly the
+    batch-curate content set, exactly once per fingerprint.
+
+    The winner ROW per fingerprint is arrival-order-dependent in a
+    stream (dropDuplicatesWithinWatermark keeps the first seen), so the
+    compared invariant is the kept fingerprint SET plus emission count
+    — deterministic under any shard/arrival order. The replay uses an
+    effectively-infinite watermark (no state eviction during a bounded
+    backfill; a live deploy bounds it, trading state size for
+    cross-window re-keeps). Driver-side collect is bounded: one row per
+    distinct kept fingerprint (≤ corpus rows; ≤500 at sf0.01).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        # deterministic synthetic event time (the documents table has no
+        # timestamp column): one second per doc_id — the value never
+        # reaches the output, it only drives the watermark machinery
+        F.timestamp_seconds(
+            F.lit(1_700_000_000).cast("long") + F.col("doc_id")
+        ).alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    tmp = tempfile.mkdtemp(prefix="cur_stream_parity_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    docs.repartitionByRange(4, "doc_id").write.parquet(src)
+    start_curate_stream(
+        spark,
+        src,
+        out,
+        ckpt,
+        watermark="36500 days",
+        available_now=True,
+        max_files_per_trigger=1,
+    ).awaitTermination()
+    schema = "fingerprint string, n_kept long"
+    if not glob.glob(f"{out}/*.parquet"):  # nothing kept: empty result
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame([], schema)
+    rows = [
+        (r["fingerprint"], r["n_kept"])
+        for r in spark.read.parquet(out)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .collect()
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _media_df(spark: SparkSession, n: int = 200) -> DataFrame:
@@ -1974,28 +2075,29 @@ def _bpe_encode_sql() -> str:
     """
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """ml_kmeans_cells oracle: replay every Lloyd iteration in SQL —
-    quantize (floor(x·1e6+0.5), IEEE-identical), integer distance folds
-    (commutative-exact, summation order free), row_number argmin with
-    the cell tie-break, truncating `//` centroid means (Spark's `div`;
-    the operator's driver-side means use the same truncation)."""
+def _kmeans_assign_block(name: str, prev: str, dim: int) -> str:
+    """One Lloyd assignment CTE: integer distance folds
+    (commutative-exact), row_number argmin with the cell tie-break."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i])), (a,b) -> a+b)"
+    )
+    return (
+        f"{name} AS (SELECT vec_id, v, cell FROM ("
+        f"SELECT q.vec_id, q.v, c.cell, row_number() OVER ("
+        f"PARTITION BY q.vec_id "
+        f"ORDER BY {dist}, c.cell) AS rn "
+        f"FROM q, {prev} c) WHERE rn = 1)"
+    )
 
-    def dist(v: str, c: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])), (a,b) -> a+b)"
-        )
 
-    def assign_block(name: str, prev: str) -> str:
-        return (
-            f"{name} AS (SELECT vec_id, v, cell FROM ("
-            f"SELECT q.vec_id, q.v, c.cell, row_number() OVER ("
-            f"PARTITION BY q.vec_id "
-            f"ORDER BY {dist('q.v', 'c.cv')}, c.cell) AS rn "
-            f"FROM q, {prev} c) WHERE rn = 1)"
-        )
-
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Shared Lloyd-replay CTE chain ``WITH q, c0, a1, c1, …, c{iters}``
+    — quantize (floor(x·1e6+0.5), IEEE-identical), integer distance
+    folds, truncating `//` centroid means (Spark's `div`; the
+    operator's driver-side means use the same truncation). Used by the
+    ml_kmeans_cells oracle (final assignment) and the sim_ivf_trained
+    oracle (trained codebook = c{iters} rescaled)."""
     sql = (
         "WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
         "x -> floor(x*1000000 + 0.5)::BIGINT) AS v FROM embeddings),\n"
@@ -2003,7 +2105,7 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
         f"WHERE vec_id < {k})"
     )
     for t in range(1, iters + 1):
-        sql += ",\n" + assign_block(f"a{t}", f"c{t - 1}")
+        sql += ",\n" + _kmeans_assign_block(f"a{t}", f"c{t - 1}", dim)
         sql += (
             f",\nc{t} AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ("
             f"SELECT cell, u.i AS dim, sum(u.x) // count(*) AS m FROM ("
@@ -2011,8 +2113,68 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             f"i -> struct_pack(i := i, x := v[i+1]))) AS u FROM a{t}) "
             f"GROUP BY cell, u.i) GROUP BY cell)"
         )
-    sql += ",\n" + assign_block("afinal", f"c{iters}")
+    return sql
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """ml_kmeans_cells oracle: the shared Lloyd chain plus the final
+    assignment under the trained centroids."""
+    sql = _kmeans_ctes(k, iters, dim)
+    sql += ",\n" + _kmeans_assign_block("afinal", f"c{iters}", dim)
     return sql + "\nSELECT vec_id, cell FROM afinal"
+
+
+def _ivf_trained_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    iters: int = 3,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> str:
+    """sim_ivf_trained oracle: derive the codebook IN SQL (the shared
+    Lloyd chain — data-dependent centroids cannot be inlined as
+    constants the way the md5 codebook is), rescale each fixed-point
+    centroid by the same exact IEEE steps the Spark side performs
+    (x/1e6, sequential-fold sum of squares, correctly-rounded sqrt,
+    x/norm — all bit-identical across engines), then replay ivf_topk:
+    nearest cell = (score desc, cell desc) argmax matching Spark's
+    struct array_max, queries probe their n_probe best cells, exact
+    cosine re-rank with round-then-rank."""
+    dot_vc = (
+        "list_reduce(list_transform(list_zip(v, cd), p -> p[1] * p[2]), "
+        "(acc, x) -> acc + x)"
+    )
+    ids = ", ".join(map(str, query_ids))
+    return f"""
+        {_kmeans_ctes(n_cells, iters, dim)},
+        cents AS (SELECT cell, list_transform(cv, x -> x / 1000000.0)
+                         AS cd0 FROM c{iters}),
+        centn AS (SELECT cell, list_transform(cd0, x -> x / sqrt(
+                    list_reduce(list_transform(cd0, y -> y * y),
+                                (a, b) -> a + b))) AS cd
+                  FROM cents),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sc AS (SELECT vec_id, v, cell, {dot_vc} AS score FROM e, centn),
+        assigned AS (SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc) WHERE rn = 1),
+        qp AS (SELECT vec_id AS query_id, v AS qv, cell AS q_cell FROM (
+            SELECT vec_id, v, cell, row_number() OVER (
+              PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+            FROM sc WHERE vec_id IN ({ids})) WHERE rn <= {n_probe}),
+        s AS (SELECT query_id, assigned.vec_id AS neighbor_id,
+                     {_cos_sql('qv', 'assigned.v')} AS cos_sim
+              FROM assigned JOIN qp ON assigned.cell = qp.q_cell
+                                   AND assigned.vec_id <> qp.query_id)
+        SELECT query_id, rank, neighbor_id, cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id)
+                   AS rank
+          FROM s) WHERE rank <= {k}
+    """
 
 
 def _x_diff_oracle() -> str:
@@ -3089,6 +3251,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_ann_topk": _ann_topk_sql([0, 1, 2, 3, 4]),
         "sim_ivf_topk": _ivf_topk_sql([0, 1, 2, 3, 4]),
+        "sim_ivf_trained": _ivf_trained_sql([0, 1, 2, 3, 4]),
         "cur_exact_keep": f"""
             WITH t AS (
               SELECT doc_id, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
@@ -3175,6 +3338,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_merges_oracle(),
         "bpe_encode": _bpe_encode_sql(),
+        # cur_stream_parity: the BATCH curation definition — distinct
+        # content fingerprints passing the quality gates, kept exactly
+        # once each. The Spark side replays the STREAMING definition
+        # over real micro-batches; matching this oracle is the
+        # dual-definition equivalence (set + emission count; the winner
+        # row per fingerprint is arrival-order-dependent by design).
+        "cur_stream_parity": f"""
+            WITH t AS (
+              SELECT len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,
+                     len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS stop_hits,
+                     substr(md5({_NORM}), 1, 16) AS fp
+              FROM documents)
+            SELECT fp AS fingerprint, cast(1 AS bigint) AS n_kept
+            FROM t
+            WHERE (n_tokens >= 5 AND n_tokens <= 100000)
+              AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens AND (n_chars - (n_tokens - 1)) <= 12 * n_tokens)
+              AND (50 * stop_hits >= n_tokens)
+            GROUP BY fp
+        """,
         "st_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -62,7 +62,17 @@ WORD_BITS = 32
 
 
 def _positions(value: Column, m_bits: int, n_hashes: int) -> Column:
-    """Array of the key's n_hashes bit positions in [0, m_bits)."""
+    """Array of the key's n_hashes bit positions in [0, m_bits).
+
+    InferFiltersFromGenerate note (CLAUDE.md): a bare ``explode`` over
+    this array is currently safe ONLY because Spark skips filter
+    inference for CreateArray inputs (SPARK-33544) — if this ever stops
+    being a literal ``F.array`` constructor, the inferred ``size()>0``
+    filter would re-inline the md5 tree per element. bloom_build uses
+    explode_outer+isNotNull (house rule); bloom_probe keeps the bare
+    explode because a NULL probe key must still yield an output row
+    (all-null positions → maybe_member=false, not row loss) — its plan
+    is pinned free of size()>0 filters in tests/test_plans.py."""
     return F.array(
         *[
             _token_hash(F.concat(value, F.lit(f"#b{i}"))) % m_bits
@@ -88,10 +98,11 @@ def bloom_build(
     pos = (
         df.filter(F.col(value_col).isNotNull())
         .select(
-            F.explode(
+            F.explode_outer(
                 _positions(F.col(value_col), m_bits, n_hashes)
             ).alias("pos")
         )
+        .filter(F.col("pos").isNotNull())
         .distinct()
     )
     return pos.groupBy(
@@ -143,7 +154,23 @@ def bloom_probe(
     own projection (no logical CSE — word_idx and bit both derive from
     it), and the join key is coalesce-wrapped per the inferred-isnotnull
     rule (CLAUDE.md).
+
+    Input constraints (caller's responsibility):
+    - df's rows must be DISTINCT over ``df.columns``: the final
+      groupBy(*df.columns) collapses exact-duplicate rows to one output
+      row (probe a deduplicated key frame, or include a unique id
+      column — output cardinality then matches input).
+    - ``pos``, ``_widx``, ``_bit``, ``word``, ``word_idx`` are reserved
+      intermediate names: a df already carrying one of them would
+      collide with the staged projections.
     """
+    reserved = {"pos", "_widx", "_bit", "word", "word_idx"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe reserves column names {sorted(clash)}; "
+            "rename them on the probe frame first"
+        )
     probes = df.select(
         "*",
         F.explode(

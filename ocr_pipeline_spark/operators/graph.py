@@ -37,8 +37,10 @@ Scale shape (10^10+ edges):
   per round so the plan does not grow with n_iters (lineage-truncation
   precedent: dedup.connected_components).
 - n_iters is a fixed small constant (PageRank converges geometrically;
-  3-10 rounds rank-order web graphs). For adaptive convergence, wrap
-  with a driver loop on max |Δrank| — a 1-row aggregate per round.
+  3-10 rounds rank-order web graphs). ``pagerank_until`` is the
+  adaptive form — the same per-round plan plus a 1-row max |Δrank|
+  aggregate per round, stopping at the exact integer fixed point
+  (real crawls do not know n_iters a priori).
 
 DuckDB oracle: ``g_pagerank`` in __spark_entry__.py unrolls the same
 iterations as chained CTEs.
@@ -49,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "out_degrees"]
+__all__ = ["pagerank", "pagerank_until", "out_degrees"]
 
 SCALE_BP = 10_000
 
@@ -77,39 +79,106 @@ def pagerank(
         raise ValueError(f"damping_bp must be in [0, {SCALE_BP}]")
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    nodes, deg_edges = _prepare(edges)
+    ranks = nodes.select("node", F.lit(SCALE_BP).cast("long").alias("rank_bp"))
+    for _ in range(n_iters):
+        ranks = _step(nodes, deg_edges, ranks, damping_bp)
+    return ranks
+
+
+def _prepare(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nodes, degree-annotated edges) — the per-run fixed inputs.
+    deg_edges is materialized once: iterations join a fixed
+    (src, dst, outdeg) bigint triple, not the derivation tree."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # degree-annotated edges, materialized once: iterations join a
-    # fixed (src, dst, outdeg) bigint triple
     deg_edges = edges.join(
         out_degrees(edges).withColumnRenamed("node", "src"), "src"
     ).localCheckpoint(eager=False)
+    return nodes, deg_edges
+
+
+def _step(
+    nodes: DataFrame,
+    deg_edges: DataFrame,
+    ranks: DataFrame,
+    damping_bp: int,
+) -> DataFrame:
+    """One exact PageRank iteration: one equi-join on src, one shuffle
+    (groupBy dst), lineage truncated per round (localCheckpoint)."""
+    contrib = (
+        deg_edges.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        )
+        .select("dst", F.expr("rank_bp div outdeg").alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").alias("in_bp"))
+    )
     base_bp = SCALE_BP - damping_bp
-    ranks = nodes.select("node", F.lit(SCALE_BP).cast("long").alias("rank_bp"))
-    for _ in range(n_iters):
-        contrib = (
-            deg_edges.join(
-                ranks.withColumnRenamed("node", "src"), "src"
-            )
-            .select("dst", F.expr("rank_bp div outdeg").alias("c"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("in_bp"))
+    return (
+        nodes.join(contrib, "node", "left")
+        .select(
+            "node",
+            (
+                F.lit(base_bp).cast("long")
+                + F.expr(
+                    f"({damping_bp} * coalesce(in_bp, 0))"
+                    f" div {SCALE_BP}"
+                )
+            ).alias("rank_bp"),
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_bp).cast("long")
-                    + F.expr(
-                        f"({damping_bp} * coalesce(in_bp, 0))"
-                        f" div {SCALE_BP}"
-                    )
-                ).alias("rank_bp"),
+        .localCheckpoint(eager=False)
+    )
+
+
+def pagerank_until(
+    edges: DataFrame,
+    eps_bp: int = 0,
+    damping_bp: int = 8500,
+    max_iters: int = 100,
+) -> tuple[DataFrame, int]:
+    """Adaptive-convergence PageRank: iterate until
+    ``max |rank_t+1 - rank_t| <= eps_bp`` (a real crawl does not know
+    n_iters a priori). Returns (ranks, rounds_run) where ranks equals
+    ``pagerank(edges, n_iters=rounds_run)`` bit-for-bit.
+
+    The convergence probe is a 1-row driver aggregate per round
+    (bounded collect, the kmeans/bpe precedent); each round's plan is
+    identical to ``pagerank``'s. Exact integer arithmetic means the
+    fixed point is EXACT: with eps_bp=0 the loop stops when an
+    iteration changes no rank at all — termination is guaranteed for
+    any damping < 10000 because the integer map is a contraction
+    (|Δ| shrinks by at least the damping factor per round, and
+    truncating division only loses mass). ``max_iters`` is the loud
+    backstop (the dup_clusters precedent): exceeding it raises rather
+    than silently returning an unconverged table.
+    """
+    if not 0 <= damping_bp <= SCALE_BP:
+        raise ValueError(f"damping_bp must be in [0, {SCALE_BP}]")
+    if eps_bp < 0:
+        raise ValueError(f"eps_bp must be >= 0, got {eps_bp}")
+    nodes, deg_edges = _prepare(edges)
+    ranks = nodes.select(
+        "node", F.lit(SCALE_BP).cast("long").alias("rank_bp")
+    ).localCheckpoint(eager=False)
+    for rounds in range(1, max_iters + 1):
+        nxt = _step(nodes, deg_edges, ranks, damping_bp)
+        delta = (
+            nxt.join(
+                ranks.withColumnRenamed("rank_bp", "prev_bp"), "node"
             )
-            .localCheckpoint(eager=False)
+            .agg(
+                F.max(F.abs(F.col("rank_bp") - F.col("prev_bp"))).alias("d")
+            )
+            .first()["d"]
         )
-    return ranks
+        ranks = nxt
+        if delta is None or delta <= eps_bp:
+            return ranks, rounds
+    raise RuntimeError(
+        f"pagerank_until did not reach max |delta| <= {eps_bp} bp in "
+        f"{max_iters} rounds (last delta {delta}); raise max_iters or eps_bp"
+    )

@@ -109,9 +109,16 @@ def write_extracted_with_manifest(
         # yields ONE file per bucket per run; the shuffle moves extracted
         # text (~10× smaller than the page payloads that already moved).
         extracted_bucketed = extracted_bucketed.repartition(F.col("bucket"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    extracted_bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
-        out_path
+    # per-WRITE option, not spark.conf.set: a session-wide mutation
+    # silently flips every later mode("overwrite")+partitionBy write in
+    # the same session to partition-level semantics (it turned
+    # compact_sketch_log's full-log replace into an append — the r5
+    # suite-order bug)
+    (
+        extracted_bucketed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(out_path)
     )
     written = spark.read.parquet(out_path)
     if run_buckets is not None:

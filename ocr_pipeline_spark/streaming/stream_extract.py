@@ -194,16 +194,23 @@ def start_curate_stream(
     watermark: str = "24 hours",
     available_now: bool = False,
     processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Run stream_curate as a continuous parquet→parquet query (the
-    curation sibling of start_extract_stream, same trigger surface).
+    curation sibling of start_extract_stream, same trigger surface;
+    ``max_files_per_trigger`` bounds each micro-batch like
+    read_pages_stream's size trigger — with availableNow it splits a
+    bounded backlog into real incremental micro-batches).
     ``schema`` defaults to the documents-table shape with an event-time
     column: (doc_id long, warc_ts timestamp, text string, lang
     string)."""
     schema = schema or (
         "doc_id long, warc_ts timestamp, text string, lang string"
     )
-    docs = spark.readStream.schema(schema).parquet(src_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_dir)
     curated = stream_curate(docs, watermark=watermark, langs=langs)
     return _start_parquet_sink(
         curated, out_path, checkpoint, available_now, processing_time

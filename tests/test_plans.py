@@ -475,6 +475,24 @@ def test_bloom_gate_exact_join_only_on_filter_hits(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_probe_no_inferred_generate_filter(spark):
+    """bloom_probe keeps a bare explode over the md5-position array (a
+    NULL probe key must still emit a row); that is safe only while no
+    size()>0 filter is inferred from the Generate (SPARK-33544 skips
+    CreateArray inputs). Pin it: if _positions ever stops being a
+    literal array constructor, InferFiltersFromGenerate would re-inline
+    the whole md5 tree into a pushed Filter and this breaks."""
+    from ocr_pipeline_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)], "v string")
+    df = bloom_probe(keys, bloom_build(keys, "v", m_bits=512), "v",
+                     m_bits=512)
+    optimized = (
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "size(" not in optimized
+
+
 def test_collocations_single_tokenize_short_shuffles(spark):
     """collocations' scale contract: the token-array projection is
     materialized once (checkpoint boundary) feeding both counters, and
