@@ -276,11 +276,13 @@ def scaling_level(cores: int, path: str) -> float:
 def run_scaling(n_small: int, sf: float, n_pages: int | None) -> dict:
     n_big = 4 * n_small
     if n_pages is None:
-        # 32× the headline corpus: fixed costs (JVM task dispatch, Python
-        # worker spin-up) must amortize or the efficiency number measures
-        # overhead, not the job — resized upward when the scanner rewrite
-        # doubled kernel throughput
-        n_pages = 32 * _pages_path(sf)[1]
+        # 128× the headline corpus (512k pages at sf0.1): fixed costs
+        # (JVM task dispatch, Python worker spin-up) must amortize or
+        # the efficiency number measures overhead, not the job. Raised
+        # 32×→128× in r5: the cumulative kernel speedups had shrunk the
+        # 16-core wall at 128k pages to ~8 s, of which ~3 s is fixed
+        # per-job cost — the r4 512k-page adjudication, now the default
+        n_pages = 128 * _pages_path(sf)[1]
     results = {}
     # 8 input files per big-level core: the timed job is a pure narrow
     # scan→map (the 100 TB shape — input pre-bucketed, no shuffle), so
