@@ -1640,30 +1640,34 @@ def _cur_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
     )
     tmp = tempfile.mkdtemp(prefix="cur_stream_parity_")
-    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
-    docs.repartitionByRange(4, "doc_id").write.parquet(src)
-    start_curate_stream(
-        spark,
-        src,
-        out,
-        ckpt,
-        watermark="36500 days",
-        available_now=True,
-        max_files_per_trigger=1,
-    ).awaitTermination()
-    schema = "fingerprint string, n_kept long"
-    if not glob.glob(f"{out}/*.parquet"):  # nothing kept: empty result
+    try:
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        docs.repartitionByRange(4, "doc_id").write.parquet(src)
+        start_curate_stream(
+            spark,
+            src,
+            out,
+            ckpt,
+            watermark="36500 days",
+            available_now=True,
+            max_files_per_trigger=1,
+        ).awaitTermination()
+        schema = "fingerprint string, n_kept long"
+        if not glob.glob(f"{out}/*.parquet"):  # nothing kept: empty
+            return spark.createDataFrame([], schema)
+        rows = [
+            (r["fingerprint"], r["n_kept"])
+            for r in spark.read.parquet(out)
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+            .collect()
+        ]
+        return spark.createDataFrame(rows, schema)
+    finally:
+        # the working copy holds the full documents text — never leak
+        # it on a failed replay (stream errors would otherwise skip the
+        # cleanup and accumulate /tmp copies per attempt)
         shutil.rmtree(tmp, ignore_errors=True)
-        return spark.createDataFrame([], schema)
-    rows = [
-        (r["fingerprint"], r["n_kept"])
-        for r in spark.read.parquet(out)
-        .groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-        .collect()
-    ]
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 def _media_df(spark: SparkSession, n: int = 200) -> DataFrame:

@@ -291,41 +291,48 @@ def run_scaling(n_small: int, sf: float, n_pages: int | None) -> dict:
     # page tasks cost ~20% throughput to tail imbalance at 16 cores
     n_files = 8 * n_big
     path = f"/tmp/bench_pages_n{n_pages}_f{n_files}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from ocr_pipeline_spark.session import get_spark
-        from ocr_pipeline_spark.sources.synth_pages import (
-            write_pages_parquet,
-        )
-
-        spark = get_spark("bench-scaling-gen", cores=8)
-        write_pages_parquet(
-            spark, path, n_pages, chunk=max(1, n_pages // n_files)
-        )
-        spark.stop()
-    # each level runs in its OWN subprocess — the real-cluster analogue
-    # (one spark-submit per cluster size), and a correctness requirement
-    # on one box: a second SparkSession in the same Python process
-    # reuses the first session's JVM, and the big level then ran a
-    # measured, reproducible ~1.5× slower than in a fresh process
-    # (31-36 s vs 20-23 s at 16 cores / 512k pages) — the in-process
-    # sequence was understating efficiency by ~2×.
+    # each phase (generation AND each level) runs in its OWN subprocess
+    # — the real-cluster analogue (one spark-submit per cluster size),
+    # and a correctness requirement on one box: a second SparkSession
+    # in the same Python process reuses the first session's JVM, and
+    # the big level then ran a measured, reproducible ~1.5× slower than
+    # in a fresh process (31-36 s vs 20-23 s at 16 cores / 512k pages)
+    # — the in-process sequence was understating efficiency by ~2×.
+    # Generation is also subprocessed so its multi-GB JVM is gone (not
+    # merely stopped) before the timed levels run — first-run numbers
+    # stay comparable to cached-dataset reruns.
+    # Child stderr is NOT captured: Spark logs stream through, so a
+    # failing level leaves its real traceback on the console instead of
+    # a bare CalledProcessError.
     import subprocess
 
-    for cores in (n_small, n_big):
+    def _child(argv: list[str]) -> str:
         proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--scaling-level",
-                str(cores),
-                "--pages-path",
-                path,
-            ],
-            capture_output=True,
+            [sys.executable, os.path.abspath(__file__), *argv],
+            stdout=subprocess.PIPE,
             text=True,
             check=True,
         )
-        results[cores] = float(proc.stdout.strip().splitlines()[-1])
+        out = proc.stdout.strip()
+        if not out:
+            raise RuntimeError(
+                f"scaling child {argv} exited 0 without output"
+            )
+        return out.splitlines()[-1]
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _child(
+            [
+                "--scaling-gen",
+                "--pages-path", path,
+                "--n-pages", str(n_pages),
+                "--n-files", str(n_files),
+            ]
+        )
+    for cores in (n_small, n_big):
+        results[cores] = float(
+            _child(["--scaling-level", str(cores), "--pages-path", path])
+        )
     eff = (results[n_small] / results[n_big]) / 4.0
     return {
         "metric": "extraction scaling efficiency N->4N cores",
@@ -352,14 +359,30 @@ def main() -> None:
     # threads on 32 vCPUs) and understates scaling.
     ap.add_argument("--n-small", type=int, default=4)
     ap.add_argument("--n-pages", type=int, default=None)
-    # internal: one scaling level in a fresh process (see run_scaling)
+    # internal: one scaling phase in a fresh process (see run_scaling)
     ap.add_argument("--scaling-level", type=int, default=None)
+    ap.add_argument("--scaling-gen", action="store_true")
     ap.add_argument("--pages-path", type=str, default=None)
+    ap.add_argument("--n-files", type=int, default=None)
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if args.scaling_gen:
+        from ocr_pipeline_spark.session import get_spark
+        from ocr_pipeline_spark.sources.synth_pages import (
+            write_pages_parquet,
+        )
+
+        spark = get_spark("bench-scaling-gen", cores=8)
+        write_pages_parquet(
+            spark, args.pages_path, args.n_pages,
+            chunk=max(1, args.n_pages // args.n_files),
+        )
+        spark.stop()
+        print("generated")
+        return
     if args.scaling_level is not None:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         print(scaling_level(args.scaling_level, args.pages_path))
         return
     if args.scaling:

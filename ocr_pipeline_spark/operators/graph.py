@@ -160,6 +160,9 @@ def pagerank_until(
         raise ValueError(f"damping_bp must be in [0, {SCALE_BP}]")
     if eps_bp < 0:
         raise ValueError(f"eps_bp must be >= 0, got {eps_bp}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    delta = None
     nodes, deg_edges = _prepare(edges)
     ranks = nodes.select(
         "node", F.lit(SCALE_BP).cast("long").alias("rank_bp")

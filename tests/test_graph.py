@@ -123,5 +123,7 @@ def test_until_loose_eps_stops_earlier(spark, edges):
 def test_until_guards(spark, edges):
     with pytest.raises(ValueError, match="eps_bp"):
         pagerank_until(edges, eps_bp=-1)
+    with pytest.raises(ValueError, match="max_iters"):
+        pagerank_until(edges, max_iters=0)
     with pytest.raises(RuntimeError, match="max_iters|did not reach"):
         pagerank_until(edges, eps_bp=0, max_iters=1)
