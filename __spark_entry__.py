@@ -82,6 +82,7 @@ from ocr_pipeline_spark.operators.similarity import (
     cosine_near_dup,
     ivf_topk,
     rp_project,
+    semantic_dedup,
     _plane_constants,
 )
 from ocr_pipeline_spark.operators.profiling import (
@@ -262,6 +263,7 @@ _VALIDATION_PRIORITY = [
     # new in round 5 — never driver-run yet
     "cur_stream_parity",
     "sim_ivf_trained",
+    "sim_semdedup",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
     # definitions unchanged) — stalest set, rotated to the front so
     # every query has a green row in r4 ∪ r5
@@ -589,6 +591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the identical codebook; bench.py measures its recall gain
         # over the md5 zero-training baseline). n_probe=4 of 8 cells.
         "sim_ivf_trained": _sim_ivf_trained,
+        # SemDeDup-style semantic dedup: exact fixed-point k-means cells
+        # + greedy smallest-id keep inside each cell (threshold 0.3, the
+        # sim_near_dup non-vacuous rationale); the oracle replays the
+        # full Lloyd chain in SQL and the same rounded cosine fold
+        "sim_semdedup": lambda s, d: semantic_dedup(
+            _t(s, d, "embeddings"), k=8, iters=3, threshold=0.3
+        ),
         # numpy/Arrow GEMM variant — shares the fold oracle: both round
         # to 4 decimals before ranking (round-then-rank), absorbing the
         # BLAS-vs-fold summation delta; agreement also asserted in
@@ -2128,6 +2137,31 @@ def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     return sql + "\nSELECT vec_id, cell FROM afinal"
 
 
+def _semdedup_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, threshold: float = 0.3
+) -> str:
+    """sim_semdedup oracle: the shared Lloyd chain + final assignment
+    (identical cells to ml_kmeans_cells), then the greedy smallest-id
+    keep rule — a row is dropped iff some smaller-id same-cell row has
+    rounded cosine >= threshold (the _cos_sql fold, sequence-identical
+    to the Spark side). keep is non-null by construction (NOT IN over a
+    non-null subquery; true when dropped is empty)."""
+    sql = _kmeans_ctes(k, iters, dim)
+    sql += ",\n" + _kmeans_assign_block("afinal", f"c{iters}", dim)
+    return sql + f""",
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        m AS (SELECT e.vec_id, afinal.cell, e.ev
+              FROM e JOIN afinal ON e.vec_id = afinal.vec_id),
+        dropped AS (SELECT DISTINCT y.vec_id AS did
+                    FROM m x JOIN m y ON x.cell = y.cell
+                                     AND x.vec_id < y.vec_id
+                    WHERE {_cos_sql('x.ev', 'y.ev')} >= {threshold})
+        SELECT vec_id, cell,
+               vec_id NOT IN (SELECT did FROM dropped) AS keep
+        FROM m
+    """
+
+
 def _ivf_trained_sql(
     query_ids: list[int],
     k: int = 5,
@@ -3256,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_topk": _ann_topk_sql([0, 1, 2, 3, 4]),
         "sim_ivf_topk": _ivf_topk_sql([0, 1, 2, 3, 4]),
         "sim_ivf_trained": _ivf_trained_sql([0, 1, 2, 3, 4]),
+        "sim_semdedup": _semdedup_oracle(),
         "cur_exact_keep": f"""
             WITH t AS (
               SELECT doc_id, len({_TOKS}) AS n_tokens, length({_NORM}) AS n_chars,

@@ -37,6 +37,7 @@ __all__ = [
     "cosine_near_dup",
     "ivf_topk",
     "rp_project",
+    "semantic_dedup",
 ]
 
 
@@ -461,3 +462,74 @@ def rp_project(
         for row in planes
     ]
     return staged.select(id_col, F.array(*comps).alias("rp"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster mark a row as a duplicate iff some SMALLER-ID row in the
+    same cell has exact cosine >= threshold to it. Output:
+    (id_col, cell int, keep boolean), one row per input row.
+
+    Keep rule: the paper keeps the point farthest from the cluster
+    centroid inside each epsilon-ball; this uses greedy smallest-id
+    instead — "drop iff an earlier same-cell row is within epsilon" —
+    which is order-free, tie-stable under any partitioning, and
+    engine-portable (no float centroid distances to tiebreak on). The
+    clustering itself is the exact fixed-point trainer
+    (clustering.kmeans_assign), so cells — and therefore the whole
+    keep/drop decision — are value-identical across engines and
+    cluster sizes; the cosine is the sequential double fold rounded to
+    4 decimals (the cos_sim recipe).
+
+    Scale shape: the quadratic term is bounded per cluster — SemDeDup's
+    entire point; pick k so cells are ~corpus/k (the paper runs ~11k
+    clusters over 100M+ embeddings). The candidate join is an equi-join
+    on the int cell id; the fixed-width vector (dim doubles) crosses
+    that one shuffle by necessity (the cosine is evaluated where the
+    pair lands) — no text/payload ever does. A skewed hot cell hurts
+    quadratically: raise k, or pre-split hot cells with
+    hyperplane_bucket as a sub-key, before corpus-scale runs. Training
+    cost is kmeans_centroids' bounded k x dim driver collect per round.
+    """
+    from .clustering import kmeans_assign
+
+    assign = kmeans_assign(emb, k, iters, id_col, vec_col)
+    # coalesce -> non-nullable cell: keeps the self-join's inferred
+    # isnotnull from pushing the assignment expression tree into a
+    # per-side filter (the cosine_near_dup bucket precedent)
+    keyed = (
+        emb.select(id_col, vec_col)
+        .join(assign.select(id_col, "cell"), id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(F.col("cell"), F.lit(-1)).alias("cell"),
+            _dbl(F.col(vec_col)).alias("_v"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(_sim4(F.col("a._v"), F.col("b._v")) >= threshold)
+        .select(F.col("b._id").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        keyed.join(dropped, keyed["_id"] == dropped["_dropped_id"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cell"),
+            F.col("_dropped_id").isNull().alias("keep"),
+        )
+    )

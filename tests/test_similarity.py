@@ -132,3 +132,56 @@ def test_rp_project_scan_local_and_deterministic(spark, emb):
         for r in rp_project(emb.repartition(13)).collect()
     )
     assert a == b
+
+
+def test_semantic_dedup_greedy_keep_rule(spark, emb, emb_np):
+    """keep == 'no smaller-id row in my k-means cell has cos >= eps',
+    replayed in numpy over the same cells the trainer assigns."""
+    from ocr_pipeline_spark.operators.clustering import kmeans_assign
+    from ocr_pipeline_spark.operators.similarity import semantic_dedup
+
+    got = semantic_dedup(emb, k=8, iters=3, threshold=0.3).collect()
+    ids, mat = emb_np
+    assert len(got) == len(ids)  # one output row per input row
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(emb, k=8, iters=3).collect()
+    }
+    assert {r["vec_id"]: r["cell"] for r in got} == cells
+
+    idx = {int(v): i for i, v in enumerate(ids)}
+    norm = np.linalg.norm(mat, axis=1)
+
+    def cos4(a, b):
+        return round(
+            float(mat[idx[a]] @ mat[idx[b]]) / (norm[idx[a]] * norm[idx[b]]),
+            4,
+        )
+
+    dropped = 0
+    for r in got:
+        smaller_dups = [
+            o
+            for o, c in cells.items()
+            if c == r["cell"] and o < r["vec_id"] and cos4(o, r["vec_id"]) >= 0.3
+        ]
+        assert r["keep"] == (not smaller_dups), (r, smaller_dups)
+        dropped += not r["keep"]
+    assert 0 < dropped < len(ids)  # non-vacuous at this threshold
+
+
+def test_semantic_dedup_deterministic_under_partitioning(spark, emb):
+    from ocr_pipeline_spark.operators.similarity import semantic_dedup
+
+    a = sorted(
+        map(tuple, semantic_dedup(emb, k=8, iters=3, threshold=0.3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                emb.repartition(11), k=8, iters=3, threshold=0.3
+            ).collect(),
+        )
+    )
+    assert a == b
