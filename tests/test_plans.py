@@ -517,3 +517,16 @@ def test_postings_global_df_single_window_over_packed_rows(spark):
     df = term_postings(docs, n_shards=2, min_df=2)
     for b in _shuffle_blocks(df):
         assert "text#" not in b, b
+
+
+def test_semantic_dedup_candidates_equi_join_no_cross_product(spark):
+    """semantic_dedup's within-cell pairing must plan as an equi-join on
+    the int cell id (the a.id < b.id bound rides along as a join
+    condition) — never a cartesian/nested-loop product, which would be
+    the O(N^2) non-starter the clustering exists to prevent."""
+    from ocr_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, k=8, iters=0, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
