@@ -90,6 +90,9 @@ EXTENDED = [
     # honest cost of the dual-definition check, not of curation itself)
     "sim_ivf_trained",
     "cur_stream_parity",
+    # SemDeDup semantic dedup: shares sim_ivf_trained's Lloyd-chain
+    # training cost plus one within-cell equi-join
+    "sim_semdedup",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -504,7 +504,13 @@ def semantic_dedup(
     assign = kmeans_assign(emb, k, iters, id_col, vec_col)
     # coalesce -> non-nullable cell: keeps the self-join's inferred
     # isnotnull from pushing the assignment expression tree into a
-    # per-side filter (the cosine_near_dup bucket precedent)
+    # per-side filter (the cosine_near_dup bucket precedent).
+    # localCheckpoint: keyed is referenced THREE times (both self-join
+    # sides + the final left join) and Spark reuses none of it (0
+    # ReusedExchange, 6 corpus scans measured) — materialize the
+    # (id, cell, vector) projection once (the lm.py pair-stream
+    # precedent; kmeans' quantized table is already checkpointed the
+    # same way).
     keyed = (
         emb.select(id_col, vec_col)
         .join(assign.select(id_col, "cell"), id_col)
@@ -513,6 +519,7 @@ def semantic_dedup(
             F.coalesce(F.col("cell"), F.lit(-1)).alias("cell"),
             _dbl(F.col(vec_col)).alias("_v"),
         )
+        .localCheckpoint(eager=True)
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     dropped = (
