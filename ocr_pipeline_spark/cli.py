@@ -123,6 +123,24 @@ def _cmd_tokenize(args) -> None:
     print(f"encoded with {len(merges)} merges -> {args.out}")
 
 
+def _cmd_semdedup(args) -> None:
+    from .operators.similarity import semantic_dedup
+
+    spark = get_spark("cli-semdedup", cores=args.cores)
+    emb = spark.read.parquet(args.input)
+    out = semantic_dedup(
+        emb,
+        k=args.k,
+        iters=args.iters,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    kept = spark.read.parquet(args.out).filter("keep").count()
+    print(f"wrote semantic-dedup flags to {args.out} ({kept} kept)")
+
+
 def _cmd_score(args) -> None:
     from .operators.classifier import quality_scores, select_top_fraction
 
@@ -276,6 +294,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep only the best FRAC of docs by score",
     )
     p.set_defaults(fn=_cmd_score)
+
+    p = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup flags for an embeddings table",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.set_defaults(fn=_cmd_semdedup)
 
     p = sub.add_parser(
         "profile", help="ANALYZE-style per-column stats of a table"

@@ -24,6 +24,7 @@ def test_parser_subcommands():
         ["rank", "--input", "a"],
         ["rank", "--input", "a", "--out", "b", "--iters", "2"],
         ["report", "--input", "a"],
+        ["semdedup", "--input", "a", "--out", "b", "--threshold", "0.3"],
         ["stream-curate", "--input", "a", "--out", "b",
          "--checkpoint", "c"],
     ):
@@ -142,3 +143,16 @@ def test_links_and_rank_cli(spark, tmp_path, capfd):
     main(["rank", "--input", pages, "--top", "3"])
     out = capfd.readouterr().out.strip().splitlines()
     assert len(out) == 3 and all("\t" in line for line in out)
+
+
+def test_semdedup_cli(spark, tmp_path, capfd):
+    out = str(tmp_path / "sd")
+    main(
+        ["semdedup", "--input", "/root/testdata/sf0.001/embeddings.parquet",
+         "--out", out, "--threshold", "0.3"]
+    )
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"vec_id", "cell", "keep"}
+    kept = got.filter("keep").count()
+    assert 0 < kept < got.count()
+    assert f"({kept} kept)" in capfd.readouterr().out
