@@ -60,6 +60,7 @@ from ocr_pipeline_spark.operators.clustering import (
 from ocr_pipeline_spark.operators.collocations import collocations
 from ocr_pipeline_spark.operators.lm import (
     bigram_surprisal,
+    dsir_weights,
     head_split,
     head_split_approx,
     lm_surprisal,
@@ -264,6 +265,7 @@ _VALIDATION_PRIORITY = [
     "cur_stream_parity",
     "sim_ivf_trained",
     "sim_semdedup",
+    "cur_dsir",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
     # definitions unchanged) — stalest set, rotated to the front so
     # every query has a green row in r4 ∪ r5
@@ -481,6 +483,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (length(bin(...)) is a cross-engine-exact floor-log2)
         "lm_doc_surprisal": lambda s, d: lm_surprisal(
             _t(s, d, "documents")
+        ),
+        # DSIR importance weights (arXiv:2302.03169): raw-vs-target
+        # unigram cross-entropy difference in exact integer bits;
+        # target = the corpus's own lang='en' slice (in-corpus, no
+        # external data); selection composes with select_top_fraction
+        "cur_dsir": lambda s, d: dsir_weights(
+            _t(s, d, "documents"), F.col("lang") == "en"
         ),
         "lm_head_split": lambda s, d: head_split(
             _t(s, d, "documents"), n_splits=3
@@ -2730,6 +2739,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(bits) as bigint) AS sum_bits,
                    cast((10000 * sum(bits)) // count(*) as bigint)
                        AS surprisal_bp
+            FROM ex JOIN lm USING (thash)
+            GROUP BY doc_id
+        """,
+        # cur_dsir: the lm CTEs twice — raw counts plus the lang='en'
+        # target slice's counts over the SAME smoothing domain (raw
+        # vocab; unseen-in-target => cnt 0 via left join); weight =
+        # per-occurrence bits_raw - bits_target summed per doc. Both
+        # engines' integer division truncates toward zero, so the
+        # negative-capable logw_bp folds identically.
+        "cur_dsir": f"""
+            WITH ex AS (
+              SELECT doc_id, substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+            c AS (SELECT thash, count(*) AS cnt FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            t AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            ct AS (SELECT thash, count(*) AS cnt_t
+                   FROM ex JOIN t USING (doc_id) GROUP BY thash),
+            st AS (SELECT cast(coalesce(sum(cnt_t), 0) as bigint)
+                          AS n_total_t FROM ct),
+            lm AS (
+              SELECT c.thash,
+                     length(bin((s.n_total + s.vocab) // (c.cnt + 1)))
+                   - length(bin((st.n_total_t + s.vocab)
+                                // (coalesce(ct.cnt_t, 0) + 1))) AS diff
+              FROM c
+              LEFT JOIN ct ON c.thash = ct.thash
+              CROSS JOIN s CROSS JOIN st)
+            SELECT doc_id,
+                   cast(count(*) as bigint) AS n_toks,
+                   cast(sum(diff) as bigint) AS logw_bits,
+                   cast((10000 * sum(diff)) // count(*) as bigint)
+                       AS logw_bp
             FROM ex JOIN lm USING (thash)
             GROUP BY doc_id
         """,

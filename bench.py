@@ -93,6 +93,8 @@ EXTENDED = [
     # SemDeDup semantic dedup: shares sim_ivf_trained's Lloyd-chain
     # training cost plus one within-cell equi-join
     "sim_semdedup",
+    # DSIR importance weights: two unigram LMs over one tokenize pass
+    "cur_dsir",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

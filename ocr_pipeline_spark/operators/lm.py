@@ -54,7 +54,14 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens
 
-__all__ = ["token_counts", "lm_surprisal", "head_split", "bigram_surprisal", "head_split_approx"]
+__all__ = [
+    "token_counts",
+    "lm_surprisal",
+    "head_split",
+    "bigram_surprisal",
+    "head_split_approx",
+    "dsir_weights",
+]
 
 SCALE_BP = 10_000
 
@@ -337,4 +344,92 @@ def head_split_approx(
         ).cast("long")
     return out.select(
         "doc_id", "surprisal_bp", split_expr.cast("long").alias("split")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame, target_pred: Column, text_col: str = "text"
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much more
+    likely its tokens are under a TARGET distribution than under the
+    raw corpus. The target is defined in-corpus by ``target_pred``
+    (e.g. ``F.col("lang") == "en"`` or a quality flag) — no external
+    data.
+
+    The paper's log importance weight is
+    ``sum_t log p_target(t) - log p_raw(t)``; this implementation
+    measures both logs in WHOLE BITS with the module's exact integer
+    device, so the entire weight is engine-exact:
+
+        logw_bits(doc) = sum over token occurrences of
+            bits_raw(t) - bits_target(t)
+        bits_X(t) = length(bin((N_X + V) div (cnt_X(t) + 1)))
+
+    with V the RAW vocabulary size for both sides (one smoothing
+    domain; target counts for unseen tokens are 0 via left join).
+    Positive logw => the doc reads more like the target than like the
+    raw corpus. Output: (doc_id, n_toks, logw_bits, logw_bp), all
+    bigint; ``logw_bp = (10000 * logw_bits) div n_toks`` (both engines
+    truncate integer division toward zero, negative-safe — verified).
+
+    The paper resamples via Gumbel top-k; here selection composes with
+    the existing machinery instead (classifier.select_top_fraction on
+    logw_bp, or head_split_approx for a no-global-sort split) — this
+    operator's contract is the weights.
+
+    Scale shape: one tokenize pass (lazily localCheckpointed) feeds the
+    raw counts, the target counts (a doc_id semi-join of the SAME
+    frame), and the scoring join — shuffles carry (doc_id, 16-hex
+    thash) and bigint counts only; token text never crosses an
+    exchange; per-token bits are computed once per vocab entry.
+    """
+    keyed = _keyed_tokens(docs, text_col).localCheckpoint(eager=False)
+    raw_counts = token_counts(keyed)
+    tgt_ids = docs.filter(target_pred).select("doc_id")
+    tgt_counts = (
+        keyed.join(tgt_ids, "doc_id", "semi")
+        .groupBy("thash")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    stats = raw_counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    tstats = tgt_counts.agg(
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("long").alias("n_total_t")
+    )
+    lm = (
+        raw_counts.join(tgt_counts, "thash", "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(tstats))
+        .select(
+            "thash",
+            (
+                F.length(F.bin(F.expr("(n_total + vocab) div (cnt + 1)")))
+                - F.length(
+                    F.bin(
+                        F.expr(
+                            "(n_total_t + vocab) div (coalesce(cnt_t, 0) + 1)"
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("diff"),
+        )
+    )
+    return (
+        keyed.join(lm, "thash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("diff").alias("logw_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "logw_bits",
+            F.expr("(10000 * logw_bits) div n_toks").alias("logw_bp"),
+        )
     )

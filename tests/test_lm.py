@@ -183,3 +183,82 @@ def test_head_split_approx_guard(spark, docs):
 
     with _pytest.raises(ValueError, match="n_splits"):
         head_split_approx(docs, n_splits=0)
+
+
+DSIR_DOCS = [
+    # target slice (lang=en): fluent common-word English
+    (0, "the cat sat on the mat and the dog sat on the mat", "en"),
+    (1, "the dog and the cat sat on the mat on the mat", "en"),
+    # raw-only: rare-token soup the target never uses
+    (2, "zqx wvk jjq pzl qqv xxz kwj lzp vqq zxx", "xx"),
+    # raw-only but target-like text: should score near the target docs
+    (3, "the cat and the dog sat on the mat", "xx"),
+]
+
+
+def _py_dsir(rows, target_ids):
+    """Pure-Python replay of dsir_weights' documented integer math."""
+    toks = {i: " ".join(t.lower().split()).split(" ") for i, t, _ in rows}
+    cnt: dict[str, int] = {}
+    cnt_t: dict[str, int] = {}
+    for i, ts in toks.items():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+            if i in target_ids:
+                cnt_t[t] = cnt_t.get(t, 0) + 1
+    n_total, vocab = sum(cnt.values()), len(cnt)
+    n_total_t = sum(cnt_t.values())
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    out = {}
+    for i, ts in toks.items():
+        diff = sum(
+            ((n_total + vocab) // (cnt[t] + 1)).bit_length()
+            - ((n_total_t + vocab) // (cnt_t.get(t, 0) + 1)).bit_length()
+            for t in ts
+        )
+        out[i] = (len(ts), diff, trunc_div(10000 * diff, len(ts)))
+    return out
+
+
+def test_dsir_weights_match_python_replay(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.lm import dsir_weights
+
+    df = spark.createDataFrame(
+        DSIR_DOCS, "doc_id long, text string, lang string"
+    )
+    got = {
+        r["doc_id"]: (r["n_toks"], r["logw_bits"], r["logw_bp"])
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    want = _py_dsir(DSIR_DOCS, {0, 1})
+    assert got == want
+    # semantics: target-like text outranks off-target rare soup, and the
+    # rare soup's weight is negative (less likely under the target)
+    assert got[3][2] > got[2][2]
+    assert got[2][2] < 0
+
+
+def test_dsir_weights_deterministic_under_partitioning(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.lm import dsir_weights
+
+    df = spark.createDataFrame(
+        DSIR_DOCS, "doc_id long, text string, lang string"
+    )
+    a = sorted(map(tuple, dsir_weights(df, F.col("lang") == "en").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_weights(
+                df.repartition(7), F.col("lang") == "en"
+            ).collect(),
+        )
+    )
+    assert a == b

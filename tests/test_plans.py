@@ -530,3 +530,19 @@ def test_semantic_dedup_candidates_equi_join_no_cross_product(spark):
     plan = _plan(semantic_dedup(emb, k=8, iters=0, threshold=0.3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weights_text_free_shuffles(spark):
+    """dsir_weights' scale contract: shuffles carry only (doc_id,
+    16-hex thash) and bigint counts — the document text never crosses
+    an exchange; the (N, V) scalar tables join as broadcasts."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.lm import dsir_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = dsir_weights(docs, F.col("lang") == "en")
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    for b in _shuffle_blocks(df):
+        assert "text#" not in b, b
