@@ -141,6 +141,19 @@ def _cmd_semdedup(args) -> None:
     print(f"wrote semantic-dedup flags to {args.out} ({kept} kept)")
 
 
+def _cmd_dsir(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .operators.lm import dsir_weights
+
+    spark = get_spark("cli-dsir", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = dsir_weights(docs, F.expr(args.target_where), text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote DSIR importance weights to {args.out} ({n} docs)")
+
+
 def _cmd_score(args) -> None:
     from .operators.classifier import quality_scores, select_top_fraction
 
@@ -294,6 +307,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep only the best FRAC of docs by score",
     )
     p.set_defaults(fn=_cmd_score)
+
+    p = sub.add_parser(
+        "dsir",
+        help="DSIR importance weights vs an in-corpus target slice",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--target-where",
+        required=True,
+        help="SQL predicate defining the target slice, e.g. \"lang = 'en'\"",
+    )
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=_cmd_dsir)
 
     p = sub.add_parser(
         "semdedup",

@@ -25,6 +25,8 @@ def test_parser_subcommands():
         ["rank", "--input", "a", "--out", "b", "--iters", "2"],
         ["report", "--input", "a"],
         ["semdedup", "--input", "a", "--out", "b", "--threshold", "0.3"],
+        ["dsir", "--input", "a", "--out", "b",
+         "--target-where", "lang = 'en'"],
         ["stream-curate", "--input", "a", "--out", "b",
          "--checkpoint", "c"],
     ):
@@ -156,3 +158,15 @@ def test_semdedup_cli(spark, tmp_path, capfd):
     kept = got.filter("keep").count()
     assert 0 < kept < got.count()
     assert f"({kept} kept)" in capfd.readouterr().out
+
+
+def test_dsir_cli(spark, tmp_path, capfd):
+    out = str(tmp_path / "dsir")
+    main(
+        ["dsir", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--target-where", "lang = 'en'"]
+    )
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "n_toks", "logw_bits", "logw_bp"}
+    assert got.count() > 0
+    assert "importance weights" in capfd.readouterr().out
