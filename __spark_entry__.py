@@ -30,6 +30,7 @@ from ocr_pipeline_spark.operators.dedup import (
     MINHASH_P,
     chunk_dedup,
     dup_clusters,
+    dup_spans,
     exact_dedup,
     jaccard_verify,
     lsh_candidate_pairs,
@@ -266,6 +267,7 @@ _VALIDATION_PRIORITY = [
     "sim_ivf_trained",
     "sim_semdedup",
     "cur_dsir",
+    "dd_dup_spans",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
     # definitions unchanged) — stalest set, rotated to the front so
     # every query has a green row in r4 ∪ r5
@@ -550,6 +552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from surviving chunks (see chunk_dedup docstring for the
         # scale shape: winner election shuffles 16-hex + ids only)
         "dd_chunk_dedup": lambda s, d: chunk_dedup(_t(s, d, "documents")),
+        # Lee et al. exact-substring dedup coverage: per-doc token
+        # fraction covered by n-gram windows that also occur in another
+        # document (interval union via lead(); see dup_spans docstring)
+        "dd_dup_spans": lambda s, d: dup_spans(_t(s, d, "documents")),
         # -- training-data ops: fingerprinting -----------------------------
         "fp_rolling": lambda s, d: _t(s, d, "documents").select(
             "doc_id", rolling_hash(F.col("text")).alias("rhash")
@@ -3213,6 +3219,41 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # dd_dup_spans: per-doc duplicated-span coverage — 8-token
+        # windows hashed with the 48-bit md5 recipe, a window is dup
+        # when its hash spans >=2 docs, coverage = interval union via
+        # lead(); integer basis points (the dd_containment recipe),
+        # sum()/`//` cast to bigint per the HUGEINT rule
+        "dd_dup_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            h AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                    list_transform(range(0, greatest(len(toks) - 8 + 1, 0)),
+                      i -> struct_pack(pos := i,
+                        gh := ('0x' || substr(md5(array_to_string(
+                               toks[i+1:i+8], ' ')), 1, 12))::BIGINT))
+                      AS grams
+                  FROM t),
+            g AS (SELECT doc_id, unnest(grams) AS u FROM h),
+            p AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g),
+            dup AS (SELECT gh FROM p GROUP BY gh
+                    HAVING min(doc_id) <> max(doc_id)),
+            d AS (SELECT doc_id, pos,
+                         lead(pos) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS nxt
+                  FROM p JOIN dup USING (gh)),
+            c AS (SELECT doc_id,
+                         cast(sum(CASE WHEN nxt IS NULL THEN 8
+                                       ELSE least(8, nxt - pos) END)
+                              as bigint) AS dup_tokens
+                  FROM d GROUP BY doc_id)
+            SELECT h.doc_id, h.n_tokens,
+                   cast(coalesce(c.dup_tokens, 0) as bigint) AS dup_tokens,
+                   cast(CASE WHEN h.n_tokens > 0
+                             THEN (10000 * coalesce(c.dup_tokens, 0))
+                                  // h.n_tokens
+                             ELSE 0 END as bigint) AS dup_bp
+            FROM h LEFT JOIN c ON h.doc_id = c.doc_id
         """,
         "dd_chunk_dedup": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

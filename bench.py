@@ -95,6 +95,9 @@ EXTENDED = [
     "sim_semdedup",
     # DSIR importance weights: two unigram LMs over one tokenize pass
     "cur_dsir",
+    # Lee et al. exact-substring dedup coverage (interval union over
+    # duplicated 8-gram windows; two pruned scans by design)
+    "dd_dup_spans",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

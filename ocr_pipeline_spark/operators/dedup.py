@@ -42,6 +42,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verify",
     "dup_clusters",
+    "dup_spans",
     "simhash60",
     "simhash_signatures",
     "simhash_signatures_expr",
@@ -564,6 +565,110 @@ def simhash_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dup_spans(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the exact-substring-dedup
+    measurement of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), mapped Spark-first:
+    instead of their corpus-global suffix array (a single-node
+    construction), every ``n``-token window is hashed (48-bit md5, the
+    engine-portable recipe) and a window is DUPLICATED when its hash
+    occurs in >= 2 distinct documents. Per doc:
+
+        (doc_id, n_tokens, dup_tokens, dup_bp)
+
+    where dup_tokens = |union of duplicated [pos, pos+n) intervals| and
+    dup_bp = 10000*dup_tokens div n_tokens. Curation reads dup_bp
+    directly as a drop/trim signal (Lee et al. use n=50 BPE tokens; the
+    default 8 whitespace tokens keeps small test corpora non-vacuous).
+    Documents shorter than ``n`` tokens emit no windows (dup_bp 0).
+    Same-doc repeats deliberately do NOT count (min!=max doc_id test):
+    cross-document duplication is the dedup signal — intra-document
+    repetition is ts_repetition's job.
+
+    Scale shape (10^12 docs):
+    - the gram stream is (doc_id, pos, gh) — ~20 bytes/row; text never
+      crosses a shuffle (the containment_pairs shape);
+    - duplicated-hash detection is min/max-per-key — one map-side
+      partial agg, no count-distinct;
+    - the dup-hash side is pre-aggregated to ONE row per hash before
+      the join-back, so a corpus-ubiquitous n-gram (site boilerplate)
+      contributes one join row, not df^2 fan-out — no ubiquity cap
+      needed, unlike containment_pairs' pair join;
+    - interval union is lead() over (doc_id, pos) — contributions
+      min(n, next_pos - pos) — one hash shuffle on doc_id.
+    Like containment_pairs, the gram stream is derived twice (dup-hash
+    side + positions side): two scans of pruned (doc_id, text) beat
+    materializing the gram stream corpus-wide.
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import _token_hash
+
+    t_df = docs.select(F.col("doc_id"), tokens(F.col(text_col)).alias("_t"))
+    # the gram-hash array staged as its own projection (no logical CSE;
+    # the transform is the expensive multi-referenced producer)
+    grams = F.when(
+        F.size("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - n),
+            lambda i: _token_hash(
+                F.array_join(F.slice(F.col("_t"), i + 1, n), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    h_df = t_df.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        grams.alias("_h"),
+    )
+    # explode_outer + isNotNull per the InferFiltersFromGenerate rule
+    g = h_df.select(
+        "doc_id", F.posexplode_outer("_h").alias("pos", "gh")
+    ).filter(F.col("gh").isNotNull())
+    dup = (
+        g.groupBy("gh")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("gh")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        g.join(dup, "gh")
+        .select("doc_id", "pos")
+        .withColumn("_nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_nxt").isNull(), F.lit(n)).otherwise(
+                    F.least(F.lit(n), F.col("_nxt") - F.col("pos"))
+                )
+            )
+            .cast("long")
+            .alias("dup_tokens")
+        )
+    )
+    return (
+        h_df.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(10000 * coalesce(dup_tokens, 0)) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_bp"),
+        )
     )
 
 

@@ -296,3 +296,69 @@ class TestContainment:
         for b in buf.getvalue().split("\n\n"):
             if b.lstrip().startswith("(") and ") Exchange" in b.splitlines()[0]:
                 assert "text#" not in b, b
+
+
+class TestDupSpans:
+    """dup_spans (Lee et al. exact-substring coverage): hand-computed
+    interval unions on planted overlaps; cross-engine parity is proved
+    by the dd_dup_spans oracle in test_entry.py."""
+
+    @pytest.fixture(scope="class")
+    def got(self, spark):
+        from ocr_pipeline_spark.operators.dedup import dup_spans
+
+        def toks(prefix, idxs):
+            return " ".join(f"{prefix}{i}" for i in idxs)
+
+        rows = [
+            # pair A: 8-token overlap p4..p11 (doc 20 = suffix + fresh)
+            (10, toks("p", range(12))),
+            (20, toks("p", range(4, 12)) + " " + toks("q", range(4))),
+            # pair B: exact copies -> full coverage
+            (30, toks("r", range(12))),
+            (50, toks("r", range(12))),
+            # gap pair: two disjoint shared 4-runs, distinct middles ->
+            # interval union must NOT bridge the gap
+            (60, "g0 g1 g2 g3 w0 w1 w2 h0 h1 h2 h3 w3"),
+            (61, "g0 g1 g2 g3 v0 v1 v2 h0 h1 h2 h3 v3"),
+            # shorter than n -> no windows
+            (40, "x y"),
+            # unique -> zero coverage
+            (70, toks("u", range(12))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_bp"])
+            for r in dup_spans(docs, n=4).collect()
+        }
+
+    def test_partial_overlap_coverage(self, got):
+        # dup windows at positions 4..8 (doc 10) / 0..4 (doc 20):
+        # contiguous union = 8 of 12 tokens
+        assert got[10] == (12, 8, 6666)
+        assert got[20] == (12, 8, 6666)
+
+    def test_exact_copies_fully_covered(self, got):
+        assert got[30] == (12, 12, 10000)
+        assert got[50] == (12, 12, 10000)
+
+    def test_gap_not_bridged(self, got):
+        # dup positions {0, 7}: union [0,4) + [7,11) = 8, not 11
+        assert got[60] == (12, 8, 6666)
+        assert got[61] == (12, 8, 6666)
+
+    def test_short_and_unique_docs_zero(self, got):
+        assert got[40] == (2, 0, 0)
+        assert got[70] == (12, 0, 0)
+
+    def test_partition_independent(self, spark):
+        from ocr_pipeline_spark.operators.dedup import dup_spans
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        a = sorted(map(tuple, dup_spans(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, dup_spans(docs.repartition(7)).collect()))
+        assert a == b
+        # sanity bounds: coverage never exceeds the token count
+        assert all(d <= n for (_, n, d, _) in a)

@@ -95,6 +95,21 @@ def test_stratified_sample_is_narrow(spark):
     assert "Exchange" not in plan       # pure scan-local filter
 
 
+def test_dup_spans_text_free_shuffles(spark):
+    """dup_spans' scale contract: every exchange carries only
+    (doc_id, pos, 48-bit gram hash) and bigint aggregates — neither
+    the text column nor the token array crosses a shuffle."""
+    from ocr_pipeline_spark.operators.dedup import dup_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = dup_spans(docs)
+    blocks = _shuffle_blocks(df)
+    assert blocks  # dup-hash agg + join + per-doc window do shuffle
+    for b in blocks:
+        assert "text#" not in b, b
+        assert "_t#" not in b, b
+
+
 def test_pii_scrub_is_narrow(spark):
     from ocr_pipeline_spark.operators.pii import with_scrubbed_text
 
