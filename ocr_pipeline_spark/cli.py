@@ -154,6 +154,22 @@ def _cmd_dsir(args) -> None:
     print(f"wrote DSIR importance weights to {args.out} ({n} docs)")
 
 
+def _cmd_dupspans(args) -> None:
+    from .operators.dedup import dup_spans
+
+    spark = get_spark("cli-dupspans", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = dup_spans(docs, n=args.n, text_col=args.text_col)
+    out.write.mode("overwrite").parquet(args.out)
+    flagged = spark.read.parquet(args.out).filter(
+        f"dup_bp >= {args.flag_bp}"
+    ).count()
+    print(
+        f"wrote duplicated-span coverage to {args.out} "
+        f"({flagged} docs at >= {args.flag_bp} bp)"
+    )
+
+
 def _cmd_score(args) -> None:
     from .operators.classifier import quality_scores, select_top_fraction
 
@@ -321,6 +337,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=_cmd_dsir)
+
+    p = sub.add_parser(
+        "dupspans",
+        help="Lee-et-al exact-substring dedup coverage per document",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n", type=int, default=8, help="window size (tokens)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--flag-bp",
+        type=int,
+        default=5000,
+        help="report count of docs at/above this dup coverage (basis points)",
+    )
+    p.set_defaults(fn=_cmd_dupspans)
 
     p = sub.add_parser(
         "semdedup",

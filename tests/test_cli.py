@@ -27,6 +27,7 @@ def test_parser_subcommands():
         ["semdedup", "--input", "a", "--out", "b", "--threshold", "0.3"],
         ["dsir", "--input", "a", "--out", "b",
          "--target-where", "lang = 'en'"],
+        ["dupspans", "--input", "a", "--out", "b", "--n", "4"],
         ["stream-curate", "--input", "a", "--out", "b",
          "--checkpoint", "c"],
     ):
@@ -158,6 +159,19 @@ def test_semdedup_cli(spark, tmp_path, capfd):
     kept = got.filter("keep").count()
     assert 0 < kept < got.count()
     assert f"({kept} kept)" in capfd.readouterr().out
+
+
+def test_dupspans_cli(spark, tmp_path, capfd):
+    out = str(tmp_path / "ds")
+    main(
+        ["dupspans", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--flag-bp", "1"]
+    )
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "n_tokens", "dup_tokens", "dup_bp"}
+    flagged = got.filter("dup_bp >= 1").count()
+    assert 0 < flagged < got.count()
+    assert f"({flagged} docs" in capfd.readouterr().out
 
 
 def test_dsir_cli(spark, tmp_path, capfd):
