@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.dedup import (
     MINHASH_P,
+    boilerplate_scrub,
     chunk_dedup,
     dup_clusters,
     dup_spans,
@@ -268,6 +269,7 @@ _VALIDATION_PRIORITY = [
     "sim_semdedup",
     "cur_dsir",
     "dd_dup_spans",
+    "dd_boilerplate",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
     # definitions unchanged) — stalest set, rotated to the front so
     # every query has a green row in r4 ∪ r5
@@ -552,6 +554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from surviving chunks (see chunk_dedup docstring for the
         # scale shape: winner election shuffles 16-hex + ids only)
         "dd_chunk_dedup": lambda s, d: chunk_dedup(_t(s, d, "documents")),
+        # RefinedWeb/CCNet ubiquitous-chunk boilerplate removal: drop a
+        # k-token chunk from ALL documents iff its corpus document
+        # frequency exceeds max_df (see boilerplate_scrub docstring)
+        "dd_boilerplate": lambda s, d: boilerplate_scrub(
+            _t(s, d, "documents")
+        ),
         # Lee et al. exact-substring dedup coverage: per-doc token
         # fraction covered by n-gram windows that also occur in another
         # document (interval union via lead(); see dup_spans docstring)
@@ -3284,6 +3292,41 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(range(0, len(chunks)),
                        i -> list_contains(coalesce(kept_idx, []), i)),
                      i -> chunks[i+1]), ' '), '') AS dedup_text,
+                   len(chunks)::BIGINT AS n_chunks,
+                   coalesce(len(kept_idx), 0)::BIGINT AS n_kept
+            FROM c LEFT JOIN kl ON c.doc_id = kl.doc_id
+        """,
+        # boilerplate scrub: same chunking as dd_chunk_dedup, but the
+        # election is count(DISTINCT doc_id) > 2 (ubiquity) and kept =
+        # every chunk instance whose hash is NOT ubiquitous
+        "dd_boilerplate": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            c AS (SELECT doc_id,
+                         list_transform(range(0, ((len(toks)-1)//10)+1),
+                           i -> array_to_string(toks[i*10+1 : i*10+10], ' '))
+                           AS chunks
+                  FROM t),
+            e AS (SELECT doc_id,
+                         unnest(list_transform(range(0, len(chunks)),
+                           i -> struct_pack(idx := i, chunk := chunks[i+1])))
+                           AS u
+                  FROM c),
+            kk AS (SELECT doc_id, u.idx AS chunk_idx,
+                          substr(md5(u.chunk), 1, 16) AS chash
+                   FROM e),
+            ubiq AS (SELECT chash FROM kk
+                     GROUP BY chash HAVING count(DISTINCT doc_id) > 2),
+            kept AS (SELECT doc_id, chunk_idx FROM kk
+                     WHERE chash NOT IN (SELECT chash FROM ubiq)),
+            kl AS (SELECT doc_id, list_sort(list(chunk_idx)) AS kept_idx
+                   FROM kept GROUP BY doc_id)
+            SELECT c.doc_id,
+                   -- DuckDB's array_to_string([]) is NULL, Spark's
+                   -- array_join([]) is '' — coalesce to the sentinel
+                   coalesce(array_to_string(list_transform(
+                     list_filter(range(0, len(chunks)),
+                       i -> list_contains(coalesce(kept_idx, []), i)),
+                     i -> chunks[i+1]), ' '), '') AS scrub_text,
                    len(chunks)::BIGINT AS n_chunks,
                    coalesce(len(kept_idx), 0)::BIGINT AS n_kept
             FROM c LEFT JOIN kl ON c.doc_id = kl.doc_id

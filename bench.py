@@ -98,6 +98,10 @@ EXTENDED = [
     # Lee et al. exact-substring dedup coverage (interval union over
     # duplicated 8-gram windows; two pruned scans by design)
     "dd_dup_spans",
+    # RefinedWeb ubiquitous-chunk boilerplate removal (df election +
+    # left-anti on the 16-hex chunk hash; two corpus scans like
+    # dd_chunk_dedup)
+    "dd_boilerplate",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

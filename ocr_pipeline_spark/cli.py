@@ -170,6 +170,31 @@ def _cmd_dupspans(args) -> None:
     )
 
 
+def _cmd_scrub(args) -> None:
+    from .operators.dedup import boilerplate_scrub
+
+    spark = get_spark("cli-scrub", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = boilerplate_scrub(
+        docs, k=args.k, max_df=args.max_df, text_col=args.text_col
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (
+        spark.read.parquet(args.out)
+        .selectExpr(
+            "count(*) AS docs",
+            "sum(n_chunks) AS chunks",
+            "sum(n_chunks) - sum(n_kept) AS scrubbed",
+        )
+        .first()
+    )
+    print(
+        f"wrote boilerplate-scrubbed corpus to {args.out} "
+        f"({stats['docs']} docs, {stats['scrubbed']}/{stats['chunks']} "
+        f"chunks removed at df > {args.max_df})"
+    )
+
+
 def _cmd_score(args) -> None:
     from .operators.classifier import quality_scores, select_top_fraction
 
@@ -353,6 +378,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="report count of docs at/above this dup coverage (basis points)",
     )
     p.set_defaults(fn=_cmd_dupspans)
+
+    p = sub.add_parser(
+        "scrub",
+        help="RefinedWeb-style ubiquitous-chunk boilerplate removal",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--k", type=int, default=10, help="chunk size (tokens)")
+    p.add_argument(
+        "--max-df",
+        type=int,
+        default=2,
+        help="drop chunks appearing in more than this many distinct docs",
+    )
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=_cmd_scrub)
 
     p = sub.add_parser(
         "semdedup",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .textstats import fingerprint, norm_text, tokens
 
 __all__ = [
+    "boilerplate_scrub",
     "chunk_dedup",
     "exact_dedup",
     "shingles",
@@ -702,6 +703,30 @@ def chunk_dedup(
     DuckDB oracle: __spark_entry__ replays the same chunking/election
     with row_number over (chash) — `q: dd_chunk_dedup`.
     """
+    chunked, keyed = _chunk_stages(docs, k, text_col)
+    winners = keyed.groupBy("chash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    kept_lists = (
+        keyed.join(winners, "chash")
+        .filter(
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("chunk_idx") == F.col("w.chunk_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept_idx"))
+    )
+    return _reassemble(chunked, kept_lists, "dedup_text")
+
+
+def _chunk_stages(
+    docs: DataFrame, k: int, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared chunking stages for chunk_dedup / boilerplate_scrub:
+    ``chunked`` is (doc_id, chunks array<string>) — consecutive k-token
+    chunks of the normalized token stream — and ``keyed`` is the
+    exploded (doc_id, chunk_idx, chash 16-hex) short-key frame.
+    """
     if k < 1:
         raise ValueError(f"chunk size must be >= 1, got {k}")
     staged = docs.select(
@@ -724,10 +749,10 @@ def chunk_dedup(
         ).alias("chunks"),
     )
     # lazy checkpoint (the tfidf/quality_scores precedent): keyed feeds
-    # BOTH the winner election and the kept-index join — without it the
-    # corpus is tokenized+chunked+hashed once per consumer. The state is
-    # (doc_id, chunk_idx, 16-hex) shorts, never chunk text; reassembly
-    # below re-chunks from the source scan, so the whole operator costs
+    # BOTH the chunk-hash election and the kept-index join — without it
+    # the corpus is tokenized+chunked+hashed once per consumer. The
+    # state is (doc_id, chunk_idx, 16-hex) shorts, never chunk text;
+    # reassembly re-chunks from the source scan, so each consumer costs
     # two corpus scans, not three (pinned in test_plans.py).
     keyed = (
         chunked.select(
@@ -743,18 +768,17 @@ def chunk_dedup(
         )
         .localCheckpoint(eager=False)
     )
-    winners = keyed.groupBy("chash").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
-    )
-    kept_lists = (
-        keyed.join(winners, "chash")
-        .filter(
-            (F.col("doc_id") == F.col("w.doc_id"))
-            & (F.col("chunk_idx") == F.col("w.chunk_idx"))
-        )
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept_idx"))
-    )
+    return chunked, keyed
+
+
+def _reassemble(
+    chunked: DataFrame, kept_lists: DataFrame, out_col: str
+) -> DataFrame:
+    """Rebuild each document from its surviving chunk indexes: left-join
+    (doc_id, kept_idx sorted array<int>) back onto the chunk arrays and
+    join the kept chunks in original order. A doc absent from
+    ``kept_lists`` (every chunk removed) coalesces to '' / 0 kept.
+    """
     return (
         chunked.join(kept_lists, "doc_id", "left")
         .select(
@@ -771,7 +795,7 @@ def chunk_dedup(
                     ),
                 ),
                 " ",
-            ).alias("dedup_text"),
+            ).alias(out_col),
             F.size("chunks").cast("long").alias("n_chunks"),
             F.size(
                 F.coalesce(F.col("kept_idx"), F.array().cast("array<int>"))
@@ -780,6 +804,58 @@ def chunk_dedup(
             .alias("n_kept"),
         )
     )
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    k: int = 10,
+    max_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ubiquitous-chunk boilerplate removal (the RefinedWeb/CCNet
+    cross-document line-dedup rule re-expressed for corpora without
+    line structure; Penedo et al. 2023, arXiv:2306.01116 §4.2): split
+    each document's normalized token stream into consecutive ``k``-token
+    chunks, compute every chunk's corpus DOCUMENT frequency, and drop a
+    chunk from ALL documents — including its first occurrence — iff it
+    appears in more than ``max_df`` distinct documents. Navigation
+    bars, cookie banners and template footers shared across a site
+    vanish corpus-wide; unique prose survives verbatim.
+
+    Contrast with :func:`chunk_dedup`, which keeps exactly ONE winner
+    copy of every duplicated chunk: the scrub keeps ZERO copies of
+    chunks above the ubiquity threshold and every copy below it.
+
+    Output: (doc_id, scrub_text, n_chunks, n_kept).
+
+    Scale shape (10^12 docs): identical to chunk_dedup — chunking +
+    hashing are scan-local staged projections; the document-frequency
+    election shuffles ONLY (chash 16-hex, doc_id) shorts with map-side
+    partial aggregation; the ubiquitous-hash set is tiny by definition
+    (high-df chunks are few distinct hashes) and joins back as a
+    left-anti equi-join on the 16-hex key; chunk text crosses exactly
+    one exchange (the final doc_id reassembly join). The checkpointed
+    ``keyed`` frame caps the plan at two corpus scans (pinned in
+    test_plans.py).
+
+    DuckDB oracle: __spark_entry__ replays the same chunking with a
+    count(DISTINCT doc_id) HAVING clause — `q: dd_boilerplate`.
+    """
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    chunked, keyed = _chunk_stages(docs, k, text_col)
+    ubiquitous = (
+        keyed.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("chash")
+    )
+    kept_lists = (
+        keyed.join(ubiquitous, "chash", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept_idx"))
+    )
+    return _reassemble(chunked, kept_lists, "scrub_text")
 
 
 def containment_pairs(

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_pipeline_spark.operators.dedup import (
+    boilerplate_scrub,
     chunk_dedup,
     exact_dedup,
     jaccard_verify,
@@ -178,6 +179,83 @@ def test_chunk_dedup_semantics(spark):
     assert got[30] == ("", 2, 0)            # full duplicate vanishes
     assert got[40] == ("", 1, 1)            # '' chunk, doc 40 wins it
     assert got[50] == ("", 1, 0)            # NULL normalizes to '' too
+
+
+def test_boilerplate_scrub_semantics(spark):
+    # base chunk appears in docs 10/20/30 -> df=3 > max_df=2 -> scrubbed
+    # from ALL of them (including the would-be chunk_dedup winner);
+    # 't10 t11' df=2 and '' df=2 -> at the threshold, kept EVERYWHERE
+    # (contrast chunk_dedup, which keeps one winner copy only)
+    base = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        (10, base + " t10 t11"),
+        (20, base + " u0 u1"),
+        (30, base + " t10 t11"),
+        (40, ""),
+        (50, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["scrub_text"], r["n_chunks"], r["n_kept"])
+        for r in boilerplate_scrub(docs).collect()
+    }
+    assert got[10] == ("t10 t11", 2, 1)
+    assert got[20] == ("u0 u1", 2, 1)
+    assert got[30] == ("t10 t11", 2, 1)
+    assert got[40] == ("", 1, 1)
+    assert got[50] == ("", 1, 1)   # NULL normalizes to '', df=2 kept
+
+
+def test_boilerplate_scrub_partition_independent(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, boilerplate_scrub(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, boilerplate_scrub(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_boilerplate_scrub_rejects_bad_args(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        boilerplate_scrub(docs, k=0)
+    with pytest.raises(ValueError):
+        boilerplate_scrub(docs, max_df=0)
+
+
+def test_boilerplate_scrub_matches_python_replay(spark):
+    """Value check on real data: replay the document-frequency rule in
+    Python over the same normalization and compare every document."""
+    import re as _re
+    from collections import Counter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["scrub_text"], r["n_chunks"], r["n_kept"])
+        for r in boilerplate_scrub(docs).collect()
+    }
+
+    def chunks_of(text):
+        norm = _re.sub(r"\s+", " ", (text or "").lower(), flags=_re.ASCII
+                       ).strip(" ")
+        toks = norm.split(" ") if norm else [""]
+        return [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    df = Counter()
+    for did, text in texts.items():
+        for c in set(chunks_of(text)):
+            df[c] += 1
+    n_scrubbed = 0
+    for did, text in texts.items():
+        cs = chunks_of(text)
+        kept = [c for c in cs if df[c] <= 2]
+        n_scrubbed += len(cs) - len(kept)
+        assert got[did] == (" ".join(kept), len(cs), len(kept)), did
+    assert n_scrubbed > 0   # the synthetic corpus must exercise the rule
 
 
 def test_chunk_dedup_partition_independent(spark):

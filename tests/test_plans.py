@@ -326,6 +326,32 @@ def test_chunk_dedup_election_shuffles_hashes_only(spark):
             assert "chunk#" not in b and "chunks#" not in b, b
 
 
+def test_boilerplate_scrub_election_shuffles_hashes_only(spark):
+    """boilerplate_scrub's scale contract mirrors chunk_dedup's: the
+    document-frequency election and the left-anti ubiquity join carry
+    only (chash, doc_id, chunk_idx) shorts; chunk TEXT crosses exactly
+    one exchange — the final doc_id reassembly join."""
+    from ocr_pipeline_spark.operators.dedup import boilerplate_scrub
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = boilerplate_scrub(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the checkpointed keyed view serves the df election AND the
+    # kept-index anti-join: one scan for them + one for reassembly
+    assert plan.count("FileScan") <= 2
+    blocks = _shuffle_blocks(df)
+    assert blocks
+    text_blocks = [
+        b for b in blocks if "chunks#" in b or "chunk#" in b or "text#" in b
+    ]
+    assert len(text_blocks) <= 1, text_blocks
+    for b in blocks:
+        if "chash#" in b:
+            assert "chunk#" not in b and "chunks#" not in b, b
+
+
 def test_quality_scores_single_scan_no_text_shuffle(spark):
     """quality_scores' scale contract: the lazily checkpointed bucketed
     view feeds BOTH the weight aggregation and the scoring aggregation
