@@ -66,6 +66,7 @@ from ocr_pipeline_spark.operators.lm import (
     head_split,
     head_split_approx,
     lm_surprisal,
+    stupid_backoff,
 )
 from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
@@ -270,6 +271,7 @@ _VALIDATION_PRIORITY = [
     "cur_dsir",
     "dd_dup_spans",
     "dd_boilerplate",
+    "lm_stupid_backoff",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
     # definitions unchanged) — stalest set, rotated to the front so
     # every query has a green row in r4 ∪ r5
@@ -507,6 +509,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a unigram first-token start (operators/lm.py:bigram_surprisal)
         "lm_bigram_surprisal": lambda s, d: bigram_surprisal(
             _t(s, d, "documents")
+        ).orderBy("doc_id"),
+        # stupid backoff (Brants et al. 2007): train on even doc_ids,
+        # score odd — a genuine cross-corpus split so the backoff
+        # branch fires (self-scoring never backs off; see
+        # operators/lm.py:stupid_backoff)
+        "lm_stupid_backoff": lambda s, d: stupid_backoff(
+            _t(s, d, "documents").filter(F.col("doc_id") % 2 == 1),
+            lm_docs=_t(s, d, "documents").filter(F.col("doc_id") % 2 == 0),
         ).orderBy("doc_id"),
         # "take the best 25%" by soft score — distributed top-k
         # (TakeOrderedAndProject), deterministic via doc_id tie-break;
@@ -2870,6 +2880,67 @@ def oracle_sql() -> dict[str, str]:
                    cast((10000 * (fb.fbits + coalesce(pb.pbits, 0)))
                         // fb.n_toks as bigint) AS surprisal_bp
             FROM fb LEFT JOIN pb USING (doc_id) ORDER BY doc_id
+        """,
+        # lm_stupid_backoff: LM counts from even doc_ids, scoring over
+        # odd; seen bigram = raw conditional frequency bits
+        # len(bin(c_a // c_ab)), backoff = 1 + add-one unigram bits
+        # (OOV folds in at cnt 0 => len(bin(N + V)))
+        "lm_stupid_backoff": f"""
+            WITH tl AS (SELECT doc_id,
+                          list_transform({_TOKS},
+                            x -> substr(md5(x), 1, 16)) AS hs
+                        FROM documents WHERE doc_id % 2 = 0),
+            ts AS (SELECT doc_id,
+                          list_transform({_TOKS},
+                            x -> substr(md5(x), 1, 16)) AS hs
+                   FROM documents WHERE doc_id % 2 = 1),
+            exl AS (SELECT unnest(hs) AS h FROM tl),
+            c AS (SELECT h, cast(count(*) as bigint) AS cnt
+                  FROM exl GROUP BY h),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            ub AS (SELECT h, cnt AS c_a,
+                     cast(length(bin((n_total + vocab) // (cnt + 1)))
+                          as bigint) AS bits0
+                   FROM c CROSS JOIN s),
+            bgl AS (SELECT unnest(hs[1:(len(hs)-1)]) AS a,
+                           unnest(hs[2:len(hs)]) AS b
+                    FROM tl WHERE len(hs) >= 2),
+            sb AS (SELECT bgc.a, bgc.b,
+                     cast(length(bin(ub.c_a // bgc.c_ab)) as bigint)
+                       AS bits_seen
+                   FROM (SELECT a, b, cast(count(*) as bigint) AS c_ab
+                         FROM bgl GROUP BY 1, 2) bgc
+                   JOIN ub ON bgc.a = ub.h),
+            bgs AS (SELECT doc_id,
+                           unnest(hs[1:(len(hs)-1)]) AS a,
+                           unnest(hs[2:len(hs)]) AS b
+                    FROM ts WHERE len(hs) >= 2),
+            pp AS (SELECT bgs.doc_id,
+                     coalesce(sb.bits_seen,
+                              1 + coalesce(u2.bits0,
+                                (SELECT length(bin(n_total + vocab))
+                                 FROM s))) AS bits,
+                     CASE WHEN sb.bits_seen IS NULL THEN 1 ELSE 0 END
+                       AS bo
+                   FROM bgs
+                   LEFT JOIN sb ON bgs.a = sb.a AND bgs.b = sb.b
+                   LEFT JOIN ub u2 ON bgs.b = u2.h),
+            pb AS (SELECT doc_id, cast(sum(bits) as bigint) AS pbits,
+                          cast(sum(bo) as bigint) AS nbo
+                   FROM pp GROUP BY 1),
+            fb AS (SELECT doc_id, cast(len(hs) as bigint) AS n_toks,
+                          coalesce(ub.bits0,
+                            (SELECT length(bin(n_total + vocab))
+                             FROM s)) AS fbits
+                   FROM ts LEFT JOIN ub ON hs[1] = ub.h)
+            SELECT fb.doc_id, fb.n_toks,
+                   cast(fb.fbits + coalesce(pb.pbits, 0) as bigint)
+                     AS sum_bits,
+                   cast(coalesce(pb.nbo, 0) as bigint) AS n_backoff,
+                   cast((10000 * (fb.fbits + coalesce(pb.pbits, 0)))
+                        // fb.n_toks as bigint) AS surprisal_bp
+            FROM fb LEFT JOIN pb USING (doc_id) ORDER BY fb.doc_id
         """,
         "lm_head_split": f"""
             WITH ex AS (

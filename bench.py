@@ -102,6 +102,9 @@ EXTENDED = [
     # left-anti on the 16-hex chunk hash; two corpus scans like
     # dd_chunk_dedup)
     "dd_boilerplate",
+    # stupid-backoff cross-corpus LM scoring (Brants 2007; even/odd
+    # train/score split, two count tables + left equi-joins)
+    "lm_stupid_backoff",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

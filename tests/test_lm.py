@@ -262,3 +262,119 @@ def test_dsir_weights_deterministic_under_partitioning(spark):
         )
     )
     assert a == b
+
+
+def _py_stupid_backoff(lm_rows, sc_rows, penalty=1):
+    """Pure-Python replay of the stupid_backoff spec (Brants 2007
+    whole-bit form): seen bigram = raw conditional-frequency bits,
+    backoff = penalty + add-one unigram bits (OOV folds in at cnt 0)."""
+    def toks(t):
+        n = " ".join((t or "").lower().split())
+        return n.split(" ")
+
+    uni: dict[str, int] = {}
+    bg: dict[tuple[str, str], int] = {}
+    for _, t in lm_rows:
+        ts = toks(t)
+        for x in ts:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    n_total, vocab = sum(uni.values()), len(uni)
+
+    def ubits(t):
+        return ((n_total + vocab) // (uni.get(t, 0) + 1)).bit_length()
+
+    out = {}
+    for did, t in sc_rows:
+        ts = toks(t)
+        bits, nb = ubits(ts[0]), 0
+        for a, b in zip(ts, ts[1:]):
+            if (a, b) in bg:
+                bits += (uni[a] // bg[(a, b)]).bit_length()
+            else:
+                nb += 1
+                bits += penalty + ubits(b)
+        out[did] = (len(ts), bits, nb, (10000 * bits) // len(ts))
+    return out
+
+
+SB_LM = [(0, "a b c a b"), (2, "a b d")]
+SB_SC = [(1, "a b c"), (3, "z q"), (5, "b a"), (7, ""), (9, None)]
+
+
+def test_stupid_backoff_matches_python_spec(spark):
+    from ocr_pipeline_spark.operators.lm import stupid_backoff
+
+    lm = spark.createDataFrame(SB_LM, "doc_id long, text string")
+    sc = spark.createDataFrame(SB_SC, "doc_id long, text string")
+    want = _py_stupid_backoff(SB_LM, SB_SC)
+    got = {
+        r["doc_id"]: (
+            r["n_toks"], r["sum_bits"], r["n_backoff"], r["surprisal_bp"]
+        )
+        for r in stupid_backoff(sc, lm_docs=lm).collect()
+    }
+    assert got == want
+    # the hand corpus must exercise BOTH branches: doc 1 is all-seen
+    # (zero backoffs), docs 3/5 back off (OOV pair / unseen order)
+    assert got[1][2] == 0 and got[3][2] == 1 and got[5][2] == 1
+
+
+def test_stupid_backoff_self_train_never_backs_off(spark):
+    """Scoring the training corpus itself: every scored bigram was
+    counted from that very document, so the backoff branch is dead —
+    the documented reason the driver query uses an even/odd split."""
+    from ocr_pipeline_spark.operators.lm import stupid_backoff
+
+    df = spark.createDataFrame(SB_LM, "doc_id long, text string")
+    rows = stupid_backoff(df).collect()
+    assert rows and all(r["n_backoff"] == 0 for r in rows)
+
+
+def test_stupid_backoff_backoff_branch_fires_on_corpus(spark):
+    """On the real synthetic corpus under the driver's even/odd split,
+    some scored documents must take the backoff branch (otherwise the
+    driver query degenerates into the bigram path)."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.lm import stupid_backoff
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stupid_backoff(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        lm_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    agg = out.selectExpr(
+        "sum(n_backoff) AS nb", "count(*) AS n", "min(sum_bits) AS mn"
+    ).first()
+    assert agg["n"] == 250
+    assert agg["nb"] > 0
+    assert agg["mn"] >= 1
+
+
+def test_stupid_backoff_partition_independent(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.lm import stupid_backoff
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc_, lm_ = (
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    a = sorted(
+        map(tuple, stupid_backoff(sc_.repartition(1), lm_docs=lm_).collect())
+    )
+    b = sorted(
+        map(tuple, stupid_backoff(sc_.repartition(7), lm_docs=lm_).collect())
+    )
+    assert a == b
+
+
+def test_stupid_backoff_rejects_bad_args(spark):
+    from ocr_pipeline_spark.operators.lm import stupid_backoff
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        stupid_backoff(df, penalty_bits=-1)

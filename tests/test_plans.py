@@ -587,3 +587,34 @@ def test_dsir_weights_text_free_shuffles(spark):
     assert "BroadcastExchange" in plan
     for b in _shuffle_blocks(df):
         assert "text#" not in b, b
+
+
+def test_stupid_backoff_shuffles_hashes_only(spark):
+    """stupid_backoff's scale contract: the LM count tables and every
+    scoring join move 16-hex token hashes and bigint counts only —
+    token/document TEXT never crosses an exchange (it dies at the
+    staged tokenize checkpoint); the (N, V) corpus scalars broadcast;
+    no all-pairs join exists."""
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.lm import stupid_backoff
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = stupid_backoff(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        lm_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the ONLY nested-loop joins allowed are the 1-row (N, V) scalar
+    # crossJoin broadcasts — every BNLJ must be a Cross build, never a
+    # data-on-data nested loop
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, ln
+    assert "BroadcastExchange" in plan  # the 1-row (N, V) stats
+    import re as _re
+
+    payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|_h)#")
+    for b in _shuffle_blocks(df):
+        assert not payload.search(b), b
