@@ -67,6 +67,7 @@ from ocr_pipeline_spark.operators.lm import (
     head_split_approx,
     lm_surprisal,
     stupid_backoff,
+    vocab_coverage,
 )
 from ocr_pipeline_spark.operators.lineage import diff_extractions
 from ocr_pipeline_spark.operators.multimodal import (
@@ -272,6 +273,7 @@ _VALIDATION_PRIORITY = [
     "dd_dup_spans",
     "dd_boilerplate",
     "lm_stupid_backoff",
+    "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
     # definitions unchanged) — stalest set, rotated to the front so
     # every query has a green row in r4 ∪ r5
@@ -518,6 +520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents").filter(F.col("doc_id") % 2 == 1),
             lm_docs=_t(s, d, "documents").filter(F.col("doc_id") % 2 == 0),
         ).orderBy("doc_id"),
+        # tokenizer-sizing diagnostic: corpus-occurrence coverage of the
+        # top-K vocabulary types, distributed top-k + bounded cumsum
+        # (operators/lm.py:vocab_coverage)
+        "lm_vocab_coverage": lambda s, d: vocab_coverage(
+            _t(s, d, "documents"), ks=(1, 10, 100, 1000)
+        ).orderBy("k"),
         # "take the best 25%" by soft score — distributed top-k
         # (TakeOrderedAndProject), deterministic via doc_id tie-break;
         # 0.25 is binary-exact so ceil(frac*N) matches across engines
@@ -2941,6 +2949,33 @@ def oracle_sql() -> dict[str, str]:
                    cast((10000 * (fb.fbits + coalesce(pb.pbits, 0)))
                         // fb.n_toks as bigint) AS surprisal_bp
             FROM fb LEFT JOIN pb USING (doc_id) ORDER BY fb.doc_id
+        """,
+        # lm_vocab_coverage: rank types by (cnt desc, thash asc),
+        # cumulative occurrence mass at each requested K (saturates at
+        # n_total past the vocabulary size)
+        "lm_vocab_coverage": f"""
+            WITH ex AS (
+              SELECT substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)),
+            c AS (SELECT thash, cast(count(*) as bigint) AS cnt
+                  FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            r AS (SELECT cast(row_number() OVER
+                           (ORDER BY cnt DESC, thash) as bigint) AS rnk,
+                         cast(sum(cnt) OVER
+                           (ORDER BY cnt DESC, thash
+                            ROWS UNBOUNDED PRECEDING) as bigint) AS cum
+                  FROM c),
+            ks AS (SELECT unnest([1, 10, 100, 1000]) AS k)
+            SELECT cast(ks.k as bigint) AS k,
+                   cast(coalesce(max(r.cum), 0) as bigint) AS covered,
+                   cast((10000 * coalesce(max(r.cum), 0))
+                        // any_value(s.n_total) as bigint) AS coverage_bp,
+                   cast(any_value(s.n_total) as bigint) AS n_total,
+                   cast(any_value(s.vocab) as bigint) AS vocab
+            FROM ks CROSS JOIN s LEFT JOIN r ON r.rnk <= ks.k
+            GROUP BY ks.k ORDER BY k
         """,
         "lm_head_split": f"""
             WITH ex AS (

@@ -105,6 +105,8 @@ EXTENDED = [
     # stupid-backoff cross-corpus LM scoring (Brants 2007; even/odd
     # train/score split, two count tables + left equi-joins)
     "lm_stupid_backoff",
+    # vocab coverage curve (one count pass + TakeOrderedAndProject)
+    "lm_vocab_coverage",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -62,6 +62,7 @@ __all__ = [
     "head_split_approx",
     "dsir_weights",
     "stupid_backoff",
+    "vocab_coverage",
 ]
 
 SCALE_BP = 10_000
@@ -595,5 +596,71 @@ def stupid_backoff(
             F.expr(f"({SCALE_BP} * sum_bits) div n_toks").alias(
                 "surprisal_bp"
             ),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (1, 10, 100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing diagnostic of
+    subword-vocabulary design (Sennrich et al. 2016 motivate BPE by
+    exactly this curve: what fraction of corpus token OCCURRENCES the
+    top-K most frequent types cover; the knee tells you where a word
+    vocab stops paying and byte-fallback subwords take over).
+
+    For each K in ``ks``: coverage(K) = (Σ cnt over the top-K types)
+    / N, reported exactly as ``coverage_bp = (10000 * covered) div
+    n_total``. Ranking ties break by thash ascending, so the curve is
+    deterministic and engine-identical.
+
+    Output: (k, covered, coverage_bp, n_total, vocab), all bigint —
+    one row per requested K; K beyond the vocabulary saturates at
+    covered = n_total.
+
+    Scale shape (10^12 docs): ONE tokenize+count pass (the corpus-sized
+    work, hash-only shuffle with map-side partials); the top-max(ks)
+    slice compiles to TakeOrderedAndProject (per-partition top-k + a
+    max(ks)-row merge — NEVER a range-repartitioned global sort of the
+    vocabulary; pinned in test_plans.py); the cumulative-sum window and
+    the ks fan-out run over ≤ max(ks) rows on one partition — bounded
+    by the caller's curve resolution, not by the data. The (N, V)
+    scalars broadcast via the 1-row crossJoin.
+
+    DuckDB oracle: `q: lm_vocab_coverage`.
+    """
+    if not ks or any(k < 1 for k in ks) or len(set(ks)) != len(ks):
+        raise ValueError(f"ks must be distinct positive ints, got {ks}")
+    counts = token_counts(_keyed_tokens(docs, text_col))
+    stats = counts.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    top = counts.orderBy(F.desc("cnt"), "thash").limit(max(ks))
+    w = (
+        Window.orderBy(F.desc("cnt"), "thash")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    ks_df = docs.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k long"
+    )
+    return (
+        ks_df.join(ranked, F.col("rank") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
+            F.expr(
+                f"({SCALE_BP} * coalesce(covered, 0)) div n_total"
+            ).alias("coverage_bp"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("vocab").cast("long").alias("vocab"),
         )
     )

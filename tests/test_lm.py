@@ -378,3 +378,56 @@ def test_stupid_backoff_rejects_bad_args(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         stupid_backoff(df, penalty_bits=-1)
+
+
+def test_vocab_coverage_matches_python_replay(spark):
+    from collections import Counter
+
+    from ocr_pipeline_spark.operators.lm import vocab_coverage
+
+    rows = [(0, "a a a a b b c d"), (1, "a b e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, vocab_coverage(df, ks=(1, 2, 3, 100)).collect()))
+
+    cnt = Counter()
+    for _, t in rows:
+        cnt.update(t.split(" "))
+    n = sum(cnt.values())
+    import hashlib
+
+    order = sorted(
+        cnt.items(),
+        key=lambda kv: (-kv[1], hashlib.md5(kv[0].encode()).hexdigest()[:16]),
+    )
+    want = []
+    for k in (1, 2, 3, 100):
+        cov = sum(c for _, c in order[:k])
+        want.append((k, cov, (10000 * cov) // n, n, len(cnt)))
+    assert got == sorted(want)
+    # the curve is monotone and saturates at full mass
+    covs = [c for _, c, *_ in got]
+    assert covs == sorted(covs) and got[-1][1] == n
+
+
+def test_vocab_coverage_tie_break_is_hash_deterministic(spark):
+    """All-singleton vocabulary: top-1 must pick the md5-smallest type
+    on every run/partitioning (the documented tie rule)."""
+    import hashlib
+
+    from ocr_pipeline_spark.operators.lm import vocab_coverage
+
+    rows = [(0, "x y z w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = vocab_coverage(df.repartition(1), ks=(1,)).first()
+    b = vocab_coverage(df.repartition(5), ks=(1,)).first()
+    assert (a["covered"], a["coverage_bp"]) == (1, 2500)
+    assert tuple(a) == tuple(b)
+
+
+def test_vocab_coverage_rejects_bad_ks(spark):
+    from ocr_pipeline_spark.operators.lm import vocab_coverage
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for bad in ((), (0,), (3, 3)):
+        with pytest.raises(ValueError):
+            vocab_coverage(df, ks=bad)

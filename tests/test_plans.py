@@ -618,3 +618,22 @@ def test_stupid_backoff_shuffles_hashes_only(spark):
     payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|_h)#")
     for b in _shuffle_blocks(df):
         assert not payload.search(b), b
+
+
+def test_vocab_coverage_topk_not_global_sort(spark):
+    """vocab_coverage's scale contract: the top-max(ks) vocabulary
+    slice compiles to TakeOrderedAndProject (per-partition top-k +
+    bounded merge), never a range-repartitioned global Sort of the
+    vocabulary; the corpus-sized shuffle carries (thash, cnt) only."""
+    import re as _re
+
+    from ocr_pipeline_spark.operators.lm import vocab_coverage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = vocab_coverage(docs)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|tok)#")
+    for b in _shuffle_blocks(df):
+        assert not payload.search(b), b
