@@ -30,6 +30,7 @@ from ocr_pipeline_spark.operators.dedup import (
     MINHASH_P,
     boilerplate_scrub,
     chunk_dedup,
+    cross_source_chunks,
     dup_clusters,
     dup_spans,
     exact_dedup,
@@ -272,6 +273,7 @@ _VALIDATION_PRIORITY = [
     "cur_dsir",
     "dd_dup_spans",
     "dd_boilerplate",
+    "dd_cross_source",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -578,6 +580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_boilerplate": lambda s, d: boilerplate_scrub(
             _t(s, d, "documents")
         ),
+        # cross-source shared-chunk matrix: distinct k-token chunk
+        # hashes appearing in BOTH sources of each pair — syndication/
+        # boilerplate provenance (operators/dedup.py:cross_source_chunks)
+        "dd_cross_source": lambda s, d: cross_source_chunks(
+            _t(s, d, "documents")
+        ).orderBy("source_a", "source_b"),
         # Lee et al. exact-substring dedup coverage: per-doc token
         # fraction covered by n-gram windows that also occur in another
         # document (interval union via lead(); see dup_spans docstring)
@@ -3436,6 +3444,23 @@ def oracle_sql() -> dict[str, str]:
                    len(chunks)::BIGINT AS n_chunks,
                    coalesce(len(kept_idx), 0)::BIGINT AS n_kept
             FROM c LEFT JOIN kl ON c.doc_id = kl.doc_id
+        """,
+        # cross-source shared-chunk matrix: same chunking, per-source
+        # distinct chunk hashes, strict source_a < source_b self-join
+        "dd_cross_source": f"""
+            WITH t AS (SELECT doc_id, source, {_TOKS} AS toks
+                       FROM documents),
+            c AS (SELECT source,
+                         substr(md5(array_to_string(
+                           toks[i*10+1 : i*10+10], ' ')), 1, 16) AS chash
+                  FROM t, unnest(range(0, ((len(toks)-1)//10)+1))
+                       AS u(i)),
+            d AS (SELECT DISTINCT source, chash FROM c)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   cast(count(*) as bigint) AS shared_chunks
+            FROM d a JOIN d b
+              ON a.chash = b.chash AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),

@@ -107,6 +107,9 @@ EXTENDED = [
     "lm_stupid_backoff",
     # vocab coverage curve (one count pass + TakeOrderedAndProject)
     "lm_vocab_coverage",
+    # cross-source shared-chunk provenance matrix (per-source distinct
+    # chunk hashes + chash self-join bounded by |sources|^2 per key)
+    "dd_cross_source",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

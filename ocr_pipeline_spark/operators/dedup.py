@@ -32,6 +32,7 @@ from .textstats import fingerprint, norm_text, tokens
 
 __all__ = [
     "boilerplate_scrub",
+    "cross_source_chunks",
     "chunk_dedup",
     "exact_dedup",
     "shingles",
@@ -931,4 +932,60 @@ def containment_pairs(
             ),
         )
         .filter(F.col("containment_bp") >= threshold_bp)
+    )
+
+
+def cross_source_chunks(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source shared-chunk matrix — the syndication/boilerplate
+    PROVENANCE analytic of corpus curation: for every pair of sources,
+    how many distinct k-token chunk hashes appear in BOTH. High counts
+    flag feeds that republish each other (wire-service syndication,
+    mirror sites, shared CMS templates) — the standard evidence for
+    collapsing sources before mixing weights are assigned (the
+    RedPajama/Dolma source-overlap audits do exactly this before
+    setting per-source sampling rates).
+
+    Output: (source_a, source_b, shared_chunks) with source_a <
+    source_b lexicographically — strictly cross-source; within-source
+    duplication is :func:`chunk_dedup`'s business.
+
+    Scale shape (10^12 docs): chunking+hashing are the scan-local
+    staged stages shared with chunk_dedup (checkpointed short-key
+    frame); attaching the source label is an equi-join on doc_id moving
+    (doc_id, source) shorts; the (source, chash) DISTINCT is a
+    map-side-combined hash shuffle; the chash self-join fans out at
+    most |sources-per-chunk|^2 <= |S|^2 rows per chunk hash, and |S| is
+    the number of CORPUS SOURCES (tens to hundreds) — never a
+    doc-count-shaped blowup. Chunk text never crosses an exchange.
+    For corpora with extreme template ubiquity, run
+    :func:`boilerplate_scrub` first so template chunks don't dominate
+    the matrix.
+
+    DuckDB oracle: `q: dd_cross_source`.
+    """
+    _, keyed = _chunk_stages(docs, k, text_col)
+    labeled = (
+        keyed.join(
+            docs.select("doc_id", F.col(source_col).alias("_src")),
+            "doc_id",
+        )
+        .select("_src", "chash")
+        .distinct()
+    )
+    a = labeled.select(
+        F.col("_src").alias("source_a"), F.col("chash").alias("chash")
+    )
+    b = labeled.select(
+        F.col("_src").alias("source_b"), F.col("chash").alias("chash")
+    )
+    return (
+        a.join(b, "chash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
     )

@@ -440,3 +440,60 @@ class TestDupSpans:
         assert a == b
         # sanity bounds: coverage never exceeds the token count
         assert all(d <= n for (_, n, d, _) in a)
+
+
+def test_cross_source_chunks_matches_python_replay(spark):
+    """Replay the shared-chunk matrix in Python over the same
+    normalization and compare every source pair."""
+    import re as _re
+    from itertools import combinations
+
+    from ocr_pipeline_spark.operators.dedup import cross_source_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_chunks"]
+        for r in cross_source_chunks(docs).collect()
+    }
+
+    def chunks_of(text):
+        norm = _re.sub(
+            r"\s+", " ", (text or "").lower(), flags=_re.ASCII
+        ).strip(" ")
+        toks = norm.split(" ")
+        return {
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        }
+
+    per_source: dict[str, set] = {}
+    for r in docs.select("source", "text").collect():
+        per_source.setdefault(r["source"], set()).update(
+            chunks_of(r["text"])
+        )
+    want = {}
+    for a, b in combinations(sorted(per_source), 2):
+        n = len(per_source[a] & per_source[b])
+        if n:
+            want[(a, b)] = n
+    assert got == want
+    assert len(want) > 0          # corpus must exercise the matrix
+    assert len(set(want.values())) > 1   # and not degenerately
+
+
+def test_cross_source_chunks_is_strictly_cross(spark):
+    from ocr_pipeline_spark.operators.dedup import cross_source_chunks
+
+    rows = [
+        (1, "a b c d e f g h i j", "s1"),
+        (2, "a b c d e f g h i j", "s1"),  # same-source dup: excluded
+        (3, "a b c d e f g h i j", "s2"),
+        (4, "k l m n o p q r s t", "s3"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_chunks"]
+        for r in cross_source_chunks(docs).collect()
+    }
+    assert got == {("s1", "s2"): 1}

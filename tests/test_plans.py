@@ -637,3 +637,22 @@ def test_vocab_coverage_topk_not_global_sort(spark):
     payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|tok)#")
     for b in _shuffle_blocks(df):
         assert not payload.search(b), b
+
+
+def test_cross_source_chunks_shuffles_shorts_only(spark):
+    """cross_source_chunks' scale contract: the source labeling join,
+    the (source, chash) distinct, and the chash self-join all move
+    short keys — chunk TEXT never crosses an exchange (it dies at the
+    shared checkpointed chunk-hash stage)."""
+    import re as _re
+
+    from ocr_pipeline_spark.operators.dedup import cross_source_chunks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = cross_source_chunks(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|chunk|chunks)#")
+    for b in _shuffle_blocks(df):
+        assert not payload.search(b), b
