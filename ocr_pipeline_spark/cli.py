@@ -195,6 +195,66 @@ def _cmd_scrub(args) -> None:
     )
 
 
+def _cmd_lmscore(args) -> None:
+    from pyspark.sql import functions as F
+
+    from .operators.lm import stupid_backoff
+
+    spark = get_spark("cli-lmscore", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    lm = spark.read.parquet(args.lm) if args.lm else None
+    out = stupid_backoff(
+        docs,
+        lm_docs=lm,
+        text_col=args.text_col,
+        penalty_bits=args.penalty_bits,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (
+        spark.read.parquet(args.out)
+        .selectExpr(
+            "count(*) AS docs",
+            "sum(n_backoff) AS backoffs",
+            "avg(surprisal_bp) AS mean_bp",
+        )
+        .first()
+    )
+    print(
+        f"wrote stupid-backoff LM scores to {args.out} "
+        f"({stats['docs']} docs, {stats['backoffs']} backoffs, "
+        f"mean {stats['mean_bp']:.0f} bp)"
+    )
+
+
+def _cmd_vocab(args) -> None:
+    from .operators.lm import vocab_coverage
+
+    spark = get_spark("cli-vocab", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    ks = tuple(int(k) for k in args.ks.split(","))
+    for r in vocab_coverage(docs, ks=ks, text_col=args.text_col).orderBy(
+        "k"
+    ).collect():
+        print(
+            f"top-{r['k']:>8}: {r['coverage_bp'] / 100:6.2f}% of "
+            f"{r['n_total']} occurrences (vocab {r['vocab']})"
+        )
+
+
+def _cmd_overlap(args) -> None:
+    from .operators.dedup import cross_source_chunks
+
+    spark = get_spark("cli-overlap", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = cross_source_chunks(
+        docs, k=args.k, text_col=args.text_col, source_col=args.source_col
+    ).orderBy("shared_chunks", ascending=False)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    for r in out.limit(args.top).collect():
+        print(f"{r['source_a']} ~ {r['source_b']}: {r['shared_chunks']}")
+
+
 def _cmd_score(args) -> None:
     from .operators.classifier import quality_scores, select_top_fraction
 
@@ -394,6 +454,41 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=_cmd_scrub)
+
+    p = sub.add_parser(
+        "lmscore",
+        help="stupid-backoff LM surprisal scores (Brants 2007)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--lm",
+        default=None,
+        help="parquet of LM training docs (default: self-train on input)",
+    )
+    p.add_argument("--penalty-bits", type=int, default=1)
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=_cmd_lmscore)
+
+    p = sub.add_parser(
+        "vocab", help="top-K vocabulary coverage curve of a corpus"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--ks", default="1,10,100,1000,10000")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=_cmd_vocab)
+
+    p = sub.add_parser(
+        "overlap",
+        help="cross-source shared-chunk provenance matrix",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--source-col", default="source")
+    p.set_defaults(fn=_cmd_overlap)
 
     p = sub.add_parser(
         "semdedup",
