@@ -169,6 +169,7 @@ from ocr_pipeline_spark.operators.textstats import (
     tfidf_top_terms,
     token_stats,
     winnow_fingerprints,
+    source_drift,
 )
 from ocr_pipeline_spark.streaming import (
     start_curate_stream,
@@ -274,6 +275,7 @@ _VALIDATION_PRIORITY = [
     "dd_dup_spans",
     "dd_boilerplate",
     "dd_cross_source",
+    "cur_source_drift",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -586,6 +588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cross_source": lambda s, d: cross_source_chunks(
             _t(s, d, "documents")
         ).orderBy("source_a", "source_b"),
+        # per-source token-distribution drift vs the corpus: exact
+        # integer TVD in basis points with out-of-vocab mass folded in
+        # analytically (operators/textstats.py:source_drift)
+        "cur_source_drift": lambda s, d: source_drift(
+            _t(s, d, "documents")
+        ).orderBy("grp"),
         # Lee et al. exact-substring dedup coverage: per-doc token
         # fraction covered by n-gram windows that also occur in another
         # document (interval union via lead(); see dup_spans docstring)
@@ -3461,6 +3469,37 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.chash = b.chash AND a.source < b.source
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # cur_source_drift: exact integer TVD per source — in-vocab
+        # |cnt_g*N - cnt*N_g| products plus the analytic out-of-vocab
+        # term N_g*(N - C_g); HUGEINT intermediates are fine, the
+        # OUTPUT casts to bigint per the dtype rule
+        "cur_source_drift": f"""
+            WITH ex AS (SELECT source AS grp,
+                               substr(md5(tok), 1, 16) AS thash
+                        FROM (SELECT source, unnest({_TOKS}) AS tok
+                              FROM documents)),
+            g AS (SELECT grp, thash, cast(count(*) as bigint) AS cnt_g
+                  FROM ex GROUP BY 1, 2),
+            c AS (SELECT thash, cast(count(*) as bigint) AS cnt
+                  FROM ex GROUP BY 1),
+            t AS (SELECT grp, cast(sum(cnt_g) as bigint) AS n_g,
+                         cast(count(*) as bigint) AS vocab_g
+                  FROM g GROUP BY 1),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total FROM c)
+            SELECT g.grp,
+                   any_value(t.n_g) AS n_tokens,
+                   any_value(t.vocab_g) AS vocab_g,
+                   cast((10000 * (sum(abs(g.cnt_g * s.n_total
+                                          - c.cnt * t.n_g))
+                                  + any_value(t.n_g)
+                                    * (any_value(s.n_total)
+                                       - sum(c.cnt))))
+                        // (2 * any_value(t.n_g)
+                              * any_value(s.n_total)) as bigint)
+                     AS tvd_bp
+            FROM g JOIN c USING (thash) JOIN t USING (grp) CROSS JOIN s
+            GROUP BY 1 ORDER BY 1
         """,
         "dd_jaccard_bucket": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),

@@ -110,6 +110,9 @@ EXTENDED = [
     # cross-source shared-chunk provenance matrix (per-source distinct
     # chunk hashes + chash self-join bounded by |sources|^2 per key)
     "dd_cross_source",
+    # per-source TVD drift (exact integer basis points, analytic
+    # out-of-vocab term — no per-group full-vocab outer join)
+    "cur_source_drift",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

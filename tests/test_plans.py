@@ -656,3 +656,24 @@ def test_cross_source_chunks_shuffles_shorts_only(spark):
     payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|chunk|chunks)#")
     for b in _shuffle_blocks(df):
         assert not payload.search(b), b
+
+
+def test_source_drift_shuffles_hashes_only(spark):
+    """source_drift's scale contract: one checkpointed tokenize pass
+    feeds both count aggregations; every exchange carries (grp, thash,
+    bigint) shorts — text/token payload never shuffles; the 1-row N
+    scalar broadcasts (Cross build only)."""
+    import re as _re
+
+    from ocr_pipeline_spark.operators.textstats import source_drift
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = source_drift(docs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, ln
+    payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|tok|_t)#")
+    for b in _shuffle_blocks(df):
+        assert not payload.search(b), b

@@ -217,3 +217,59 @@ def test_lang_id_ngram_classifies_and_handles_edges(spark):
     got = {r["doc_id"]: r["lang_guess"] for r in lang_id_ngram(df).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es",
                    5: "unknown", 6: "unknown"}
+
+
+def test_source_drift_matches_exact_fractions(spark):
+    """tvd_bp must equal floor(10000 * TVD) with TVD computed in exact
+    rational arithmetic over the same normalization."""
+    from fractions import Fraction
+
+    from ocr_pipeline_spark.operators.textstats import source_drift
+
+    rows = [
+        (0, "a a b", "g1"),
+        (1, "a b b c", "g2"),
+        (2, "a a b b c", "g3"),   # closest to corpus mix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["grp"]: (r["n_tokens"], r["vocab_g"], r["tvd_bp"])
+           for r in source_drift(df).collect()}
+
+    from collections import Counter
+    corpus = Counter()
+    groups: dict[str, Counter] = {}
+    for _, t, g in rows:
+        ts = t.split(" ")
+        corpus.update(ts)
+        groups.setdefault(g, Counter()).update(ts)
+    n = sum(corpus.values())
+    for g, cnt in groups.items():
+        ng = sum(cnt.values())
+        tvd = sum(
+            abs(Fraction(cnt.get(t, 0), ng) - Fraction(c, n))
+            for t, c in corpus.items()
+        ) / 2
+        want_bp = (10000 * tvd.numerator) // tvd.denominator
+        assert got[g] == (ng, len(cnt), want_bp), g
+    # drift is a distance: bounded, and the balanced group is closest
+    assert all(0 <= v[2] <= 10000 for v in got.values())
+    assert got["g3"][2] == min(v[2] for v in got.values())
+
+
+def test_source_drift_zero_for_identical_distribution(spark):
+    from ocr_pipeline_spark.operators.textstats import source_drift
+
+    rows = [(0, "a b c", "g1"), (1, "a b c", "g2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert all(
+        r["tvd_bp"] == 0 for r in source_drift(df).collect()
+    )
+
+
+def test_source_drift_partition_independent(spark):
+    from ocr_pipeline_spark.operators.textstats import source_drift
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, source_drift(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, source_drift(docs.repartition(9)).collect()))
+    assert a == b and len(a) == 20
