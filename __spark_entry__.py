@@ -132,8 +132,13 @@ from ocr_pipeline_spark.operators.layout import (
     zvalue_sql,
 )
 from ocr_pipeline_spark.operators.urlkit import (
+    BLOCK_FIXTURE_URLS,
+    BLOCK_RULES,
     CANON_STEPS_SQL,
     EDGE_URLS,
+    HOST_RE,
+    PATH_RE,
+    url_rule_verdicts,
     with_canonical_url,
 )
 from ocr_pipeline_spark.operators.temporal import (
@@ -283,6 +288,7 @@ _VALIDATION_PRIORITY = [
     # every query has a green row in r4 ∪ r5
     "mm_features",
     "url_canonical",
+    "url_rules",
     "st_window_counts",
     "t_asof_last_click",
     "t_interval_clicks",
@@ -803,6 +809,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    plus the EDGE_URLS corpus (exercises every rewrite step);
         #    the oracle inlines the same urls and applies the DuckDB
         #    chain DERIVED from the same _STEPS list (urlkit.py)
+        # UT1/RefinedWeb-style URL blocklist: suffix-expanded domain +
+        # path-prefix deny rules over synth urls + planted fixtures;
+        # output is the compact (url, category) hit list
+        # (operators/urlkit.py:url_rule_verdicts)
+        "url_rules": lambda s, d: url_rule_verdicts(
+            _synth_pages_df(s)
+            .select("url")
+            .union(
+                s.createDataFrame(
+                    [(u,) for u in BLOCK_FIXTURE_URLS], "url string"
+                )
+            ),
+            s.createDataFrame(
+                BLOCK_RULES, "domain string, path_prefix string, category string"
+            ),
+        ).orderBy("url"),
         "url_canonical": lambda s, d: with_canonical_url(
             _synth_pages_df(s)
             .select("url")
@@ -2555,6 +2577,14 @@ def _url_corpus(n: int = 150, seed: int = 42) -> list[str]:
     return [u for u, _, _ in _extract_expected(n, seed)] + list(EDGE_URLS)
 
 
+def _rule_url_corpus(n: int = 150, seed: int = 42) -> list[str]:
+    """The url_rules input rows: synth-page urls + the blocklist
+    fixture corpus. Mirrors the Spark query's union exactly."""
+    return [u for u, _, _ in _extract_expected(n, seed)] + list(
+        BLOCK_FIXTURE_URLS
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cos = (
         "round(list_reduce(list_transform(list_zip(qv, v), p -> p[1] * p[2]), (a, x) -> a + x)"
@@ -4130,5 +4160,35 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": f"""
             SELECT url, {CANON_STEPS_SQL("url")} AS canonical_url
             FROM (VALUES {", ".join(f"('{_sql_quote(u)}')" for u in _url_corpus())}) t(url)
+        """,
+        # url_rules: same suffix expansion + rule join, urls and rules
+        # inlined from the shared Python constants (EDGE_URLS recipe);
+        # HOST_RE/PATH_RE are the kernel-is-spec pattern strings
+        "url_rules": f"""
+            WITH u AS (SELECT url FROM (VALUES {", ".join(
+                f"('{_sql_quote(u)}')" for u in _rule_url_corpus()
+            )}) t(url)),
+            p AS (SELECT url,
+                    lower(regexp_extract(url, '{HOST_RE}', 1)) AS host,
+                    regexp_extract(url, '{PATH_RE}', 1) AS path
+                  FROM u),
+            l AS (SELECT url, path, string_split(host, '.') AS labels
+                  FROM p),
+            e AS (SELECT url, path,
+                    unnest(list_transform(range(0, len(labels)),
+                      i -> array_to_string(labels[i+1:len(labels)], '.')))
+                      AS suf
+                  FROM l),
+            r AS (SELECT * FROM (VALUES {", ".join(
+                "('" + _sql_quote(d) + "', "
+                + ("NULL" if pp is None else "'" + _sql_quote(pp) + "'")
+                + ", '" + _sql_quote(c) + "')"
+                for d, pp, c in BLOCK_RULES
+            )}) t(domain, path_prefix, category))
+            SELECT e.url, min(r.category) AS category
+            FROM e JOIN r ON e.suf = r.domain
+            WHERE r.path_prefix IS NULL
+               OR starts_with(e.path, r.path_prefix)
+            GROUP BY e.url ORDER BY url
         """,
     })

@@ -113,6 +113,9 @@ EXTENDED = [
     # per-source TVD drift (exact integer basis points, analytic
     # out-of-vocab term — no per-group full-vocab outer join)
     "cur_source_drift",
+    # UT1-style URL blocklist verdicts (suffix expansion + broadcast
+    # rule join; fixture corpus, so sub-second by design)
+    "url_rules",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

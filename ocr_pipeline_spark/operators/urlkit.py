@@ -20,7 +20,8 @@ Steps, in order (each a single anchored regex):
 6. drop a trailing '/index.html' (directory-default tail; running after
    the slash strip makes '/a/index.html/' canonicalize in one pass).
 
-``host_of``/``domain_suffix`` expose the pieces partitioning uses.
+``host_of``/``path_of`` expose the pieces; ``url_rule_verdicts`` is
+the UT1-style blocklist filter over them.
 """
 
 from __future__ import annotations
@@ -28,7 +29,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "with_canonical_url", "CANON_STEPS_SQL", "EDGE_URLS"]
+__all__ = [
+    "canonical_url",
+    "with_canonical_url",
+    "CANON_STEPS_SQL",
+    "EDGE_URLS",
+    "HOST_RE",
+    "PATH_RE",
+    "BLOCK_RULES",
+    "BLOCK_FIXTURE_URLS",
+    "host_of",
+    "path_of",
+    "url_rule_verdicts",
+]
 
 # Edge-case corpus exercising every rewrite step (and the anchoring
 # regressions). Single source of truth: tests/test_urlkit.py pins the
@@ -95,3 +108,111 @@ def CANON_STEPS_SQL(c: str) -> str:
         duck_rep = rep.replace("$", "\\")
         expr = f"regexp_replace({expr}, '{pat}', '{duck_rep}', 'g')"
     return expr
+
+
+# anchored, RE2/Java-portable URL piece extractors (kernel-is-spec:
+# the DuckDB oracle applies the SAME pattern strings)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+# Deterministic deny rules + fixture urls for the driver query (the
+# EDGE_URLS precedent: single source of truth, inlined into BOTH the
+# Spark query and the DuckDB oracle). (domain, path_prefix, category);
+# path_prefix None = the whole domain and every subdomain.
+BLOCK_RULES: list[tuple[str, str | None, str]] = [
+    ("site03.example", None, "blocklist"),
+    ("ads.example", None, "ads"),
+    ("tracker.example", None, "tracking"),
+    ("site01.example", "/casino", "gambling"),
+]
+BLOCK_FIXTURE_URLS: list[str] = [
+    "https://cdn.ads.example/banner/1",     # subdomain of a deny rule
+    "https://ads.example/x",                # exact domain hit
+    "https://sub.site03.example/page/9",    # subdomain hit
+    "https://site01.example/casino/slots",  # path-prefix hit
+    "https://site01.example/news/1",        # clean: domain ok, path ok
+    "https://broadside.example/a",          # clean: 'side...' is not 'site...'
+    "https://user:pw@tracker.example:8080/t?x=1#f",  # userinfo+port+query
+]
+
+
+def host_of(col: Column) -> Column:
+    """Lowercased authority host of a url (userinfo and port stripped)."""
+    return F.lower(F.regexp_extract(col, HOST_RE, 1))
+
+
+def path_of(col: Column) -> Column:
+    """Path component of a url ('' for bare scheme://host)."""
+    return F.regexp_extract(col, PATH_RE, 1)
+
+
+def url_rule_verdicts(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """UT1/RefinedWeb-style URL blocklist filter (Penedo et al. 2023
+    §3.1 filter documents from a curated deny list of domains plus
+    URL path rules; the UniToulouse blocklist is the standard public
+    instance). ``rules`` is a (domain, path_prefix, category) frame: a
+    url is DENIED when any dot-suffix of its host equals a rule's
+    domain (so ``ads.example`` catches ``cdn.ads.example``) and the
+    rule's path_prefix, if non-null, prefixes the url path.
+
+    Returns the compact HIT LIST — (url, category) per denied distinct
+    url, category = lexicographic min across matching rules — NOT the
+    annotated input: callers compose ``pages.join(hits, 'url',
+    'left_anti')`` so page PAYLOADS never ride through this operator's
+    shuffles (the house payload rule). '' hosts (unparseable urls)
+    produce no suffixes and are never denied — route those through the
+    P6-style valid/invalid split instead.
+
+    Scale shape (10^10 urls, 10^6-10^7 rules): host/path extraction and
+    the suffix expansion are scan-local staged projections (suffix
+    fan-out = label count, ~3-6); rules broadcast (a 5M-domain deny
+    list is ~100 MB — the standard broadcast-join regime; beyond that,
+    shuffle-join the exploded short frame on the suffix key); the only
+    shuffle is the per-url min-category aggregation, carrying (url,
+    category) shorts with map-side partials.
+
+    DuckDB oracle: `q: url_rules` (BLOCK_RULES + BLOCK_FIXTURE_URLS
+    inlined on both sides).
+    """
+    staged = urls.select(F.col(url_col).alias("url")).select(
+        "url",
+        host_of(F.col("url")).alias("_host"),
+        path_of(F.col("url")).alias("_path"),
+    )
+    # stage the label split: referenced three times below (sequence
+    # bound, slice, size) — Catalyst has no logical CSE
+    labeled = staged.select(
+        "url", "_path", F.split(F.col("_host"), r"\.").alias("_labels")
+    )
+    sufs = F.transform(
+        F.sequence(F.lit(0), F.size("_labels") - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(F.col("_labels"), i + F.lit(1), F.size("_labels")), "."
+        ),
+    )
+    ex = (
+        labeled.select(
+            "url", "_path", F.explode_outer(sufs).alias("_suf")
+        )
+        .filter(F.col("_suf").isNotNull())
+    )
+    return (
+        ex.join(
+            F.broadcast(
+                rules.select(
+                    F.col("domain").alias("_suf"),
+                    "path_prefix",
+                    "category",
+                )
+            ),
+            "_suf",
+        )
+        .filter(
+            F.col("path_prefix").isNull()
+            | F.col("_path").startswith(F.col("path_prefix"))
+        )
+        .groupBy("url")
+        .agg(F.min("category").alias("category"))
+    )

@@ -677,3 +677,29 @@ def test_source_drift_shuffles_hashes_only(spark):
     payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks|tok|_t)#")
     for b in _shuffle_blocks(df):
         assert not payload.search(b), b
+
+
+def test_url_rule_verdicts_broadcasts_rules(spark):
+    """url_rule_verdicts' scale contract: the rules dim joins as a
+    broadcast (never a shuffled sort-merge join of the url corpus
+    against the rule list), no cartesian/nested-loop join exists, and
+    the only shuffle is the per-url min-category aggregation."""
+    from ocr_pipeline_spark.operators.urlkit import (
+        BLOCK_RULES,
+        url_rule_verdicts,
+    )
+
+    urls = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "concat('https://site', cast(doc_id % 30 as string), '.example/p/', cast(doc_id as string)) AS url"
+    )
+    rules = spark.createDataFrame(
+        BLOCK_RULES, "domain string, path_prefix string, category string"
+    )
+    df = url_rule_verdicts(urls, rules)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    blocks = _shuffle_blocks(df)
+    assert len(blocks) <= 1, blocks

@@ -70,3 +70,81 @@ def test_duckdb_parity(spark, urls_df):
     )
     d = [r[0] for r in con.execute(f"SELECT {CANON_STEPS_SQL('url')} FROM u").fetchall()]
     assert s == d
+
+
+def test_url_rule_verdicts_fixture_hits(spark):
+    from ocr_pipeline_spark.operators.urlkit import (
+        BLOCK_FIXTURE_URLS,
+        BLOCK_RULES,
+        url_rule_verdicts,
+    )
+
+    urls = spark.createDataFrame(
+        [(u,) for u in BLOCK_FIXTURE_URLS], "url string"
+    )
+    rules = spark.createDataFrame(
+        BLOCK_RULES, "domain string, path_prefix string, category string"
+    )
+    got = dict(
+        (r["url"], r["category"])
+        for r in url_rule_verdicts(urls, rules).collect()
+    )
+    assert got == {
+        "https://cdn.ads.example/banner/1": "ads",
+        "https://ads.example/x": "ads",
+        "https://sub.site03.example/page/9": "blocklist",
+        "https://site01.example/casino/slots": "gambling",
+        "https://user:pw@tracker.example:8080/t?x=1#f": "tracking",
+    }
+
+
+def test_url_rule_verdicts_label_boundaries(spark):
+    """Suffix matching is per dot-label: 'evilads.example' must NOT
+    match the 'ads.example' rule (no substring false positives), and a
+    bare-host url with no path matches domain-only rules."""
+    from ocr_pipeline_spark.operators.urlkit import url_rule_verdicts
+
+    urls = spark.createDataFrame(
+        [
+            ("https://evilads.example/x",),
+            ("https://ads.example",),
+            ("not a url at all",),
+            ("https://site01.example/casinoroyale",),  # prefix DOES match
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("ads.example", None, "ads"), ("site01.example", "/casino", "g")],
+        "domain string, path_prefix string, category string",
+    )
+    got = dict(
+        (r["url"], r["category"])
+        for r in url_rule_verdicts(urls, rules).collect()
+    )
+    assert got == {
+        "https://ads.example": "ads",
+        "https://site01.example/casinoroyale": "g",
+    }
+
+
+def test_url_rule_verdicts_left_anti_composition(spark):
+    """The documented caller pattern: pages left_anti hits keeps
+    exactly the clean pages."""
+    from ocr_pipeline_spark.operators.urlkit import (
+        BLOCK_RULES,
+        url_rule_verdicts,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://site03.example/page/1", b"<p>x</p>"),
+            ("https://siteok.example/page/2", b"<p>y</p>"),
+        ],
+        "url string, html binary",
+    )
+    rules = spark.createDataFrame(
+        BLOCK_RULES, "domain string, path_prefix string, category string"
+    )
+    hits = url_rule_verdicts(pages, rules)
+    kept = pages.join(hits, "url", "left_anti").collect()
+    assert [r["url"] for r in kept] == ["https://siteok.example/page/2"]
