@@ -175,6 +175,9 @@ from ocr_pipeline_spark.operators.textstats import (
     token_stats,
     winnow_fingerprints,
     source_drift,
+    MOJIBAKE_MARKERS,
+    MOJIBAKE_SAMPLES,
+    mojibake_stats,
 )
 from ocr_pipeline_spark.streaming import (
     start_curate_stream,
@@ -281,6 +284,7 @@ _VALIDATION_PRIORITY = [
     "dd_boilerplate",
     "dd_cross_source",
     "cur_source_drift",
+    "ts_mojibake",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -546,6 +550,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decomposed/composed fixtures (synth corpus is pure ASCII —
         # vacuous otherwise); Arrow-batched unicodedata vs DuckDB's
         # native nfc_normalize
+        # ftfy-style mojibake triage over documents + planted
+        # double-encoded fixtures (synth corpus is pure ASCII —
+        # vacuous otherwise); literal-substring replace() arithmetic,
+        # no regex (operators/textstats.py:mojibake_stats)
+        "ts_mojibake": lambda s, d: mojibake_stats(
+            _t(s, d, "documents")
+            .select("doc_id", "text")
+            .union(
+                s.createDataFrame(
+                    [
+                        (3_000_000 + i, t)
+                        for i, t in enumerate(MOJIBAKE_SAMPLES)
+                    ],
+                    "doc_id long, text string",
+                )
+            )
+        ),
         "ts_nfc": lambda s, d: with_nfc_text(
             _t(s, d, "documents")
             .select("doc_id", "text")
@@ -3089,6 +3110,25 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_guess
             FROM t
         """)(lang_trigram_sets()),
+        # ts_mojibake: literal-substring replace() arithmetic over the
+        # shared MOJIBAKE_MARKERS (no regex on either engine)
+        "ts_mojibake": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {", ".join(
+                f"({3_000_000 + i}, '{_sql_quote(t)}')"
+                for i, t in enumerate(MOJIBAKE_SAMPLES)
+              )}) AS t(doc_id, text)),
+            h AS (SELECT doc_id, {" + ".join(
+                "(length(coalesce(text, '')) - length(replace("
+                f"coalesce(text, ''), '{_sql_quote(mk)}', ''))) // {len(mk)}"
+                for mk in MOJIBAKE_MARKERS
+              )} AS n_hits FROM d)
+            SELECT doc_id, cast(n_hits as bigint) AS n_hits,
+                   n_hits > 0 AS mojibake
+            FROM h
+        """,
         "ts_nfc": f"""
             WITH d AS (
               SELECT doc_id, text FROM documents

@@ -116,6 +116,8 @@ EXTENDED = [
     # UT1-style URL blocklist verdicts (suffix expansion + broadcast
     # rule join; fixture corpus, so sub-second by design)
     "url_rules",
+    # ftfy-style mojibake triage (scan-local replace() arithmetic)
+    "ts_mojibake",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

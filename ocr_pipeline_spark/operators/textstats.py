@@ -39,6 +39,9 @@ __all__ = [
     "lang_trigram_sets",
     "with_nfc_text",
     "source_drift",
+    "MOJIBAKE_MARKERS",
+    "MOJIBAKE_SAMPLES",
+    "mojibake_stats",
 ]
 
 # Tiny deterministic English stopword list (top function words) — used by
@@ -677,4 +680,76 @@ def source_drift(
                 " div (2 * n_tokens * _n)"
             ).alias("tvd_bp"),
         )
+    )
+
+
+# Classic UTF-8-decoded-as-Latin-1/cp1252 signature sequences (the
+# ftfy heuristic, Speer 2019 "ftfy: fixes text for you" -- these byte
+# pairs/triples are vanishingly rare in intentional text but are
+# exactly what e-acute, curly quotes, degree signs, NBSP, the BOM and
+# emoji turn into after one round of the wrong decode). LITERAL
+# substrings, counted with replace() arithmetic on both engines --
+# zero regex-dialect risk. Written as \u escapes so the source stays
+# ASCII-clean.
+MOJIBAKE_MARKERS: list[str] = [
+    "\u00e2\u20ac",          # a-circ + euro: any U+2018-range punct
+    "\u00c3\u00a9",          # A-tilde + copyright-ish: e-acute
+    "\u00c3\u00a8",          # e-grave
+    "\u00c3\u00bc",          # u-umlaut
+    "\u00c3\u00b1",          # n-tilde
+    "\u00c3\u00a7",          # c-cedilla
+    "\u00c3\u00b3",          # o-acute
+    "\u00c2\u0020",          # A-circ + space: NBSP
+    "\u00c2\u00b0",          # degree sign
+    "\u00c2\u00bb",          # right guillemet
+    "\u00ef\u00bb\u00bf",   # UTF-8 BOM
+    "\u00f0\u0178",          # emoji lead bytes
+]
+
+# Fixture corpus for the driver query (UNICODE_SAMPLES precedent --
+# the synth corpus is pure ASCII, so the rule is vacuous without
+# planted rows; single source of truth for BOTH engines).
+MOJIBAKE_SAMPLES: list[str] = [
+    "it\u00e2\u20ac\u2122s a broken apostrophe",
+    "caf\u00c3\u00a9 au lait",
+    "\u00ef\u00bb\u00bfleading bom",
+    "100\u00c2\u00b0 and \u00c2\u00bbquotes",
+    "clean ascii stays clean",
+    "na\u00c3\u00afve \u00e2\u20ac\u0153double quoted\u00e2\u20ac\u009d",
+    "\u00f0\u0178\u02dc\u20ac mangled emoji",
+    "d\u00e9j\u00e0 vu is FINE real utf-8",
+]
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mojibake (double-encoded UTF-8) detection -- the encoding-repair
+    triage flag of web-corpus cleanup (ftfy's core heuristic): count
+    occurrences of the MOJIBAKE_MARKERS signature substrings in the
+    RAW text (pre-normalization -- normalization must not mask broken
+    decodes). Output: (doc_id, n_hits, mojibake) with mojibake =
+    n_hits > 0; route flagged docs to a re-decode pass, don't silently
+    drop them (the text is usually recoverable).
+
+    Per-marker count is pure replace() arithmetic --
+    (len(t) - len(replace(t, m, ''))) / len(m) -- summed over the fixed
+    marker list: literal substrings on both engines, NO regex, so
+    Java/RE2 dialect drift is structurally impossible (the lesson the
+    CLAUDE.md ASCII-\\s recipe teaches). Scan-local, codegen, no
+    shuffle; cost is a dozen replace passes over the text column,
+    fused in one whole-stage-codegen projection.
+
+    DuckDB oracle: `q: ts_mojibake` (markers + planted MOJIBAKE_SAMPLES
+    fixtures inlined on both sides -- the synth corpus is pure ASCII).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_hits = F.lit(0)
+    for m in MOJIBAKE_MARKERS:
+        n_hits = n_hits + (
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits > 0).alias("mojibake"),
     )

@@ -273,3 +273,37 @@ def test_source_drift_partition_independent(spark):
     a = sorted(map(tuple, source_drift(docs.repartition(1)).collect()))
     b = sorted(map(tuple, source_drift(docs.repartition(9)).collect()))
     assert a == b and len(a) == 20
+
+
+def test_mojibake_matches_python_replay(spark):
+    from ocr_pipeline_spark.operators.textstats import (
+        MOJIBAKE_MARKERS,
+        MOJIBAKE_SAMPLES,
+        mojibake_stats,
+    )
+
+    rows = [(i, t) for i, t in enumerate(MOJIBAKE_SAMPLES)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["mojibake"])
+        for r in mojibake_stats(df).collect()
+    }
+    for i, t in rows:
+        n = sum((t or "").count(m) for m in MOJIBAKE_MARKERS)
+        assert got[i] == (n, n > 0), i
+    # the fixture corpus exercises both classes: broken rows flagged,
+    # clean ascii AND real (correctly-decoded) utf-8 unflagged
+    assert sum(1 for v in got.values() if v[1]) == 6
+    assert got[4] == (0, False)   # plain ascii
+    assert got[7] == (0, False)   # genuine utf-8 accents
+
+
+def test_mojibake_is_scan_local(spark):
+    """No shuffle at all: the flags are a single codegen projection."""
+    from ocr_pipeline_spark.operators.textstats import mojibake_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = mojibake_stats(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert docs.count() == df.count()
