@@ -96,9 +96,13 @@ from ocr_pipeline_spark.operators.profiling import (
     profile_table,
 )
 from ocr_pipeline_spark.operators.pii import (
+    CARD_RE,
+    CARD_SAMPLES,
+    LUHN_SQL,
     PII_COUNT_SQL,
     PII_SAMPLES,
     PII_STEPS_SQL,
+    with_card_scrub,
     with_scrubbed_text,
 )
 from ocr_pipeline_spark.operators.bloom import (
@@ -285,6 +289,7 @@ _VALIDATION_PRIORITY = [
     "dd_cross_source",
     "cur_source_drift",
     "ts_mojibake",
+    "ts_card_scrub",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -492,6 +497,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ).select("doc_id", "scrubbed", "n_email", "n_ip", "n_phone"),
+        # Luhn-validated credit-card redaction over documents + planted
+        # card fixtures: shape candidates checksum-verified before any
+        # replacement (operators/pii.py:with_card_scrub)
+        "ts_card_scrub": lambda s, d: with_card_scrub(
+            _t(s, d, "documents")
+            .select("doc_id", "text")
+            .union(
+                s.createDataFrame(
+                    [
+                        (4_000_000 + i, t)
+                        for i, t in enumerate(CARD_SAMPLES)
+                    ],
+                    "doc_id long, text string",
+                )
+            )
+        ).select("doc_id", "card_scrubbed", "n_card"),
         # -- model-based quality scoring (operators/classifier.py):
         #    distill the heuristic is_quality label into a hashed
         #    token-bucket model, score every doc — fixed-point exact
@@ -3369,6 +3390,29 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(*) / sum(c), 4) AS rep_ratio,
                    round(max(c) / sum(c), 4) AS top_gram_frac
             FROM pg GROUP BY doc_id
+        """,
+        # ts_card_scrub: same CARD_RE + LUHN_SQL bodies; list_reduce
+        # over list_prepend(text, valid) replays the literal fold
+        "ts_card_scrub": f"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES {", ".join(
+                f"({4_000_000 + i}, '{_sql_quote(t)}')"
+                for i, t in enumerate(CARD_SAMPLES)
+              )}) AS t(doc_id, text)),
+            v AS (SELECT doc_id, coalesce(text, '') AS t,
+                    list_filter(
+                      regexp_extract_all(coalesce(text, ''),
+                                         '{CARD_RE}'),
+                      c -> {LUHN_SQL("c", "duckdb")}) AS valid
+                  FROM d)
+            SELECT doc_id,
+                   list_reduce(list_prepend(t, valid),
+                     (acc, c) -> replace(acc, c, '<CARD>'))
+                     AS card_scrubbed,
+                   cast(len(valid) as bigint) AS n_card
+            FROM v
         """,
         "ts_pii_scrub": f"""
             WITH src AS (

@@ -118,6 +118,8 @@ EXTENDED = [
     "url_rules",
     # ftfy-style mojibake triage (scan-local replace() arithmetic)
     "ts_mojibake",
+    # Luhn-gated card redaction (scan-local staged HOF chain)
+    "ts_card_scrub",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -29,6 +29,10 @@ __all__ = [
     "PII_COUNT_SQL",
     "scrub_pii",
     "with_scrubbed_text",
+    "CARD_RE",
+    "CARD_SAMPLES",
+    "LUHN_SQL",
+    "with_card_scrub",
 ]
 
 # (name, pattern, replacement) — applied in order.
@@ -135,3 +139,92 @@ def PII_COUNT_SQL(c: str, step: int) -> str:
     for _, pat, rep in _PII_STEPS[:step]:
         expr = f"regexp_replace({expr}, {_lit(pat)}, {_lit(rep)}, 'g')"
     return f"len(regexp_extract_all({expr}, {_lit(_PII_STEPS[step][1])}))"
+
+
+# Credit-card redaction: candidates by shape, CONFIRMED by the Luhn
+# mod-10 checksum before any replacement happens — a bare 13-19-digit
+# or 4x4-grouped run that fails Luhn (order ids, grouped years) is
+# provably not a card number and must survive verbatim (the same
+# precision-over-recall stance as the phone rule above).
+CARD_RE = r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b|\b[0-9]{13,19}\b"
+
+# Fixture corpus (PII_SAMPLES precedent; Luhn-valid numbers are the
+# public test-card numbers every payment sandbox documents).
+CARD_SAMPLES: list[str] = [
+    "pay with 4111 1111 1111 1111 now",          # valid, spaced
+    "or 4111-1111-1111-1111 dashed",             # valid, dashed
+    "amex 378282246310005 works too",            # valid, bare 15
+    "bare 4532015112830366 inline",              # valid, bare 16
+    "fake 1234 5678 9012 3456 fails luhn",       # shape hit, invalid
+    "order id 1234567890123456 stays",           # shape hit, invalid
+    "1914 1918 2026 2024 grouped years stay",    # shape hit, invalid
+    "phone 555-123-9876 is not card-shaped",     # no candidate
+    "clean text about spark partitions",         # no candidate
+]
+
+# Luhn checksum as a portable SQL boolean over one candidate string
+# {c}: strip non-digits, double every second digit from the RIGHT
+# (subtracting 9 above 9), sum mod 10 = 0. Uses only constructs with
+# identical semantics in Spark SQL and DuckDB (1-indexed substring,
+# ascii, integer %). The digit string is re-derived per reference —
+# candidates are <= 19 chars, and higher-order functions are
+# interpreted anyway (CodegenFallback), so staging buys nothing here.
+def LUHN_SQL(c: str, engine: str) -> str:
+    d = f"regexp_replace({c}, '[^0-9]', ''" + (", 'g')" if engine == "duckdb" else ")")
+    dig = f"(ascii(substring({d}, cast(i as int), 1)) - 48)"
+    if engine == "spark":
+        dig = f"(ascii(substring({d}, i, 1)) - 48)"
+    body = (
+        f"CASE WHEN (length({d}) - i) % 2 = 1 "
+        f"THEN CASE WHEN 2*{dig} > 9 THEN 2*{dig} - 9 ELSE 2*{dig} END "
+        f"ELSE {dig} END"
+    )
+    if engine == "spark":
+        return (
+            f"aggregate(sequence(1, length({d})), 0, "
+            f"(acc, i) -> acc + {body}) % 10 = 0"
+        )
+    return (
+        f"list_sum(list_transform(range(1, length({d}) + 1), "
+        f"i -> {body})) % 10 = 0"
+    )
+
+
+def with_card_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``card_scrubbed`` (text with every LUHN-VALID card-shaped
+    number replaced by ``<CARD>``) and ``n_card`` (count of validated
+    numbers). Shape candidates come from ``CARD_RE``; each candidate is
+    checksum-verified before replacement, so numeric text that merely
+    looks card-shaped is never redacted.
+
+    Scale shape: three staged scan-local projections (candidates →
+    validated → fold-replace; staged because higher-order functions are
+    CodegenFallback and Catalyst has no logical CSE — the house rule),
+    no shuffle, no Python. The fold replaces each validated candidate
+    LITERALLY (replace(), not regex), so no escaping hazard exists.
+
+    DuckDB oracle: `q: ts_card_scrub` — same CARD_RE, same LUHN_SQL
+    body, list_reduce over list_prepend(text, valid) replays the fold
+    with the text as the fold seed (DuckDB's list_reduce has no
+    explicit init; prepending makes the empty-valid case a no-op).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn(
+        "_cands", F.regexp_extract_all(t, F.lit(CARD_RE), F.lit(0))
+    )
+    validated = staged.withColumn(
+        "_valid",
+        F.expr(f"filter(_cands, c -> {LUHN_SQL('c', 'spark')})"),
+    )
+    return (
+        validated.withColumn(
+            "card_scrubbed",
+            F.aggregate(
+                F.col("_valid"),
+                t,
+                lambda acc, c: F.replace(acc, c, F.lit("<CARD>")),
+            ),
+        )
+        .withColumn("n_card", F.size("_valid").cast("long"))
+        .drop("_cands", "_valid")
+    )
