@@ -153,6 +153,7 @@ from ocr_pipeline_spark.operators.temporal import (
 from ocr_pipeline_spark.operators.decontam import (
     GRAMS_SQL,
     contamination_flags,
+    fuzzy_decontam,
 )
 from ocr_pipeline_spark.kernels.bpe import (
     TRAIN_CORPUS as BPE_CORPUS,
@@ -290,6 +291,7 @@ _VALIDATION_PRIORITY = [
     "cur_source_drift",
     "ts_mojibake",
     "ts_card_scrub",
+    "ct_fuzzy",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -778,6 +780,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(s, d, "documents"),
             _t(s, d, "documents").filter(F.col("doc_id") % 97 == 0),
         ),
+        # -- fuzzy decontamination: MinHash/LSH near-dup screen against
+        #    a benchmark of every 10th doc re-keyed at +10M (literal
+        #    copies, so the screen provably fires at jaccard 10000;
+        #    genuine corpus near-dups surface too) ----------------------
+        "ct_fuzzy": lambda s, d: fuzzy_decontam(
+            _t(s, d, "documents"),
+            _t(s, d, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                "text",
+            ),
+        ).orderBy("doc_id"),
         # -- BPE tokenizer (operators/bpe.py): the distributed trainer
         #    runs real pair-count/argmax rounds on Spark; the oracle is
         #    the pure-Python kernel's merge table over the same corpus
@@ -3439,6 +3454,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_simhash": simhash_sql,
         "dd_simhash_pairs": simhash_pairs_sql,
+        # ct_fuzzy: the lsh_pairs chain over corpus UNION re-keyed
+        # benchmark (+10M), cross-set gate on the id range, exact
+        # shingle-Jaccard verify in integer basis points
+        "ct_fuzzy": f"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0),
+            sigs AS (
+              SELECT doc_id, {", ".join(f"{sig(i)} AS sig_{i}" for i in range(8))}
+              FROM u),
+            bands AS (
+              SELECT doc_id, band_idx,
+                     case band_idx
+                       when 0 then md5(sig_0::VARCHAR || '|' || sig_1::VARCHAR)
+                       when 1 then md5(sig_2::VARCHAR || '|' || sig_3::VARCHAR)
+                       when 2 then md5(sig_4::VARCHAR || '|' || sig_5::VARCHAR)
+                       else        md5(sig_6::VARCHAR || '|' || sig_7::VARCHAR) end AS band_key
+              FROM sigs, (SELECT unnest(range(0, 4)) AS band_idx)),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+               AND (a.doc_id >= 10000000) != (b.doc_id >= 10000000)
+              GROUP BY 1, 2),
+            sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM u),
+            ver AS (
+              SELECT case when doc_a >= 10000000 then doc_b
+                          else doc_a end AS doc_id,
+                     (10000 * len(list_intersect(sa.sh, sb.sh)))
+                       // (len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh))) AS jbp
+              FROM pairs JOIN sh sa ON pairs.doc_a = sa.doc_id
+                         JOIN sh sb ON pairs.doc_b = sb.doc_id),
+            pd AS (SELECT doc_id,
+                          cast(count(*) as bigint) AS n_bench_candidates,
+                          cast(max(jbp) as bigint) AS best_jaccard_bp
+                   FROM ver GROUP BY 1)
+            SELECT d.doc_id,
+                   cast(coalesce(pd.n_bench_candidates, 0) as bigint)
+                     AS n_bench_candidates,
+                   cast(coalesce(pd.best_jaccard_bp, 0) as bigint)
+                     AS best_jaccard_bp,
+                   coalesce(pd.best_jaccard_bp, 0) >= 5000
+                     AS fuzzy_contaminated
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "dd_lsh_pairs": lsh_pairs_sql,
         "dd_simhash_clusters": f"""
             WITH RECURSIVE base AS ({simhash_pairs_sql}),

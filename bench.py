@@ -120,6 +120,9 @@ EXTENDED = [
     "ts_mojibake",
     # Luhn-gated card redaction (scan-local staged HOF chain)
     "ts_card_scrub",
+    # MinHash/LSH fuzzy decontamination (banded candidates + exact
+    # Jaccard verify against a re-keyed benchmark slice)
+    "ct_fuzzy",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

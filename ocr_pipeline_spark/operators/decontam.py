@@ -33,6 +33,7 @@ __all__ = [
     "GRAMS_SQL",
     "contamination_flags",
     "gram_keys",
+    "fuzzy_decontam",
 ]
 
 # 8-gram overlap is the published sweet spot: long enough that shared
@@ -124,4 +125,115 @@ def contamination_flags(
             F.lit(100) * F.col("n_hit")
             >= F.lit(threshold_pct) * F.col("n_grams")
         ).alias("is_contaminated"),
+    )
+
+
+def fuzzy_decontam(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    min_jaccard_bp: int = 5000,
+) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination — the MinHash/LSH
+    companion of :func:`contamination_flags`. Exact n-gram screens
+    miss lightly-paraphrased or reformatted benchmark items (the
+    reason Llama-style pipelines complement GPT-3's 13-gram exact rule
+    with fuzzy matching); here every corpus document is checked for
+    NEAR-duplicate overlap with any benchmark item: shared LSH band →
+    candidate, exact shingle Jaccard >= min_jaccard_bp → contaminated.
+
+    ``bench`` doc_ids MUST be disjoint from the corpus' (the caller
+    offsets them; asserted nowhere at 10^12 scale, so it is part of
+    the contract). Output, one row per CORPUS doc: (doc_id,
+    n_bench_candidates, best_jaccard_bp, fuzzy_contaminated) — clean
+    docs report (0, 0, false).
+
+    Scale shape: the union is scanned per stage exactly like the
+    oracled dd_lsh_pairs/dd_jaccard_bucket chain it reuses
+    (minhash_signatures / lsh_candidate_pairs / jaccard_verify —
+    operators/dedup.py); candidate generation is the banded equi-join
+    (short keys, skew-free hashed bands, never all-pairs), the
+    cross-set gate joins the tiny (doc_id, is_bench) side table, and
+    verification touches candidates only. Benchmark suites are small
+    (10^4-10^6 items) so the bench side adds negligible mass.
+
+    DuckDB oracle: `q: ct_fuzzy` (bench = every 10th corpus doc
+    re-keyed at +10M — literal copies, so the screen provably fires).
+    """
+    from .dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    u = docs.select("doc_id", F.col(text_col).alias("text")).withColumn(
+        "_bench", F.lit(False)
+    ).unionByName(
+        bench.select("doc_id", F.col(text_col).alias("text")).withColumn(
+            "_bench", F.lit(True)
+        )
+    )
+    flags = u.select("doc_id", "_bench")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(
+            u, num_hashes=num_hashes, shingle_n=shingle_n
+        ),
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    cross = (
+        pairs.join(
+            flags.select(
+                F.col("doc_id").alias("doc_a"), F.col("_bench").alias("_ba")
+            ),
+            "doc_a",
+        )
+        .join(
+            flags.select(
+                F.col("doc_id").alias("doc_b"), F.col("_bench").alias("_bb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("_ba") != F.col("_bb"))
+    )
+    ver = jaccard_verify(u, cross.select("doc_a", "doc_b"), shingle_n=shingle_n)
+    per_doc = (
+        ver.join(
+            flags.select(
+                F.col("doc_id").alias("doc_a"), F.col("_bench").alias("_ba")
+            ),
+            "doc_a",
+        )
+        .select(
+            F.when(F.col("_ba"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            F.expr("(10000 * n_intersect) div n_union").alias("_jbp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_candidates"),
+            F.max("_jbp").alias("best_jaccard_bp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bench_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_bench_candidates"),
+            F.coalesce("best_jaccard_bp", F.lit(0))
+            .cast("long")
+            .alias("best_jaccard_bp"),
+            (
+                F.coalesce("best_jaccard_bp", F.lit(0))
+                >= F.lit(min_jaccard_bp)
+            ).alias("fuzzy_contaminated"),
+        )
     )

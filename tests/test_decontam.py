@@ -71,3 +71,49 @@ def test_null_text_defined(spark):
     bench = spark.createDataFrame([("anything at all",)], "text string")
     r = contamination_flags(docs, bench).collect()[0]
     assert (r["n_grams"], r["n_hit"], r["is_contaminated"]) == (1, 0, False)
+
+
+def test_fuzzy_decontam_flags_planted_copies(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.decontam import fuzzy_decontam
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    out = fuzzy_decontam(docs, bench)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 500            # one row per corpus doc, always
+    # every planted literal copy self-matches at exactly 10000 bp
+    for did, r in rows.items():
+        if did % 10 == 0:
+            assert r["best_jaccard_bp"] == 10000 and r["fuzzy_contaminated"], did
+    # clean docs report the documented zero triple
+    clean = [r for r in rows.values() if r["n_bench_candidates"] == 0]
+    assert clean and all(
+        r["best_jaccard_bp"] == 0 and not r["fuzzy_contaminated"]
+        for r in clean
+    )
+
+
+def test_fuzzy_decontam_misses_nothing_lsh_recalls(spark):
+    """A lightly-edited benchmark item (one token changed out of 30)
+    must still be caught — the fuzzy screen's reason to exist; and a
+    completely unrelated doc must not be."""
+    from ocr_pipeline_spark.operators.decontam import fuzzy_decontam
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    edited = base.replace("tok7", "changed")
+    rows = [(1, edited), (2, "entirely different words " * 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10_000_000, base)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["fuzzy_contaminated"], r["best_jaccard_bp"])
+        for r in fuzzy_decontam(docs, bench).collect()
+    }
+    assert got[1][0] and got[1][1] >= 5000
+    assert not got[2][0] and got[2][1] == 0

@@ -703,3 +703,27 @@ def test_url_rule_verdicts_broadcasts_rules(spark):
     assert "SortMergeJoin" not in plan
     blocks = _shuffle_blocks(df)
     assert len(blocks) <= 1, blocks
+
+
+def test_fuzzy_decontam_candidate_generation_is_banded(spark):
+    """fuzzy_decontam inherits the LSH scale contract: candidate
+    generation is the banded equi-join (no cartesian/nested-loop
+    anywhere), and no exchange carries document text."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.decontam import fuzzy_decontam
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    df = fuzzy_decontam(docs, bench)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    payload = _re.compile(r"(?<![A-Za-z0-9_])(text|_sh|sh|sh_b)#")
+    for b in _shuffle_blocks(df):
+        assert not payload.search(b), b
