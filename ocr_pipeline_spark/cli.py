@@ -195,6 +195,37 @@ def _cmd_scrub(args) -> None:
     )
 
 
+def _cmd_decontam(args) -> None:
+    from .operators.decontam import contamination_flags, fuzzy_decontam
+
+    spark = get_spark("cli-decontam", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench)
+    if args.mode == "exact":
+        out = contamination_flags(
+            docs, bench, threshold_pct=args.threshold_pct
+        )
+        flag_col = "is_contaminated"
+    else:
+        out = fuzzy_decontam(
+            docs, bench, min_jaccard_bp=args.min_jaccard_bp
+        )
+        flag_col = "fuzzy_contaminated"
+    out.write.mode("overwrite").parquet(args.out)
+    stats = (
+        spark.read.parquet(args.out)
+        .selectExpr(
+            "count(*) AS docs",
+            f"sum(cast({flag_col} as int)) AS flagged",
+        )
+        .first()
+    )
+    print(
+        f"wrote {args.mode} contamination verdicts to {args.out} "
+        f"({stats['flagged']}/{stats['docs']} docs flagged)"
+    )
+
+
 def _cmd_lmscore(args) -> None:
     from pyspark.sql import functions as F
 
@@ -454,6 +485,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=_cmd_scrub)
+
+    p = sub.add_parser(
+        "decontam",
+        help="benchmark decontamination screen (exact n-gram or fuzzy LSH)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--bench", required=True, help="benchmark parquet (doc_id, text)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", choices=["exact", "fuzzy"], default="exact")
+    p.add_argument("--threshold-pct", type=int, default=10)
+    p.add_argument("--min-jaccard-bp", type=int, default=5000)
+    p.set_defaults(fn=_cmd_decontam)
 
     p = sub.add_parser(
         "lmscore",
