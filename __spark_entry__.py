@@ -86,6 +86,7 @@ from ocr_pipeline_spark.operators.similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
     cosine_near_dup,
+    hashed_embedding,
     ivf_topk,
     rp_project,
     semantic_dedup,
@@ -292,6 +293,7 @@ _VALIDATION_PRIORITY = [
     "ts_mojibake",
     "ts_card_scrub",
     "ct_fuzzy",
+    "sim_hash_embed",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -719,6 +721,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver hash (list columns are unhashable there); values are
         # pre-rounded to 4dp and -0.0-normalized, so the fixed-width
         # print is unambiguous in both engines
+        # feature-hashing document embeddings (Weinberger 2009): the
+        # training-free text featurizer bridging documents -> the
+        # embedding ops; packed '%.4f' string per the array rule
+        # (operators/similarity.py:hashed_embedding)
+        "sim_hash_embed": lambda s, d: hashed_embedding(
+            _t(s, d, "documents")
+        ).orderBy("doc_id"),
         "sim_rp_reduce": lambda s, d: rp_project(_t(s, d, "embeddings"))
         .withColumn(
             "rp",
@@ -4276,6 +4285,53 @@ def oracle_sql() -> dict[str, str]:
         # multimodal: expectations computed by the same Python kernels the
         # Spark UDFs call, inlined as VALUES (binary payloads — not
         # expressible over the pre-registered views)
+        # sim_hash_embed: same 48-bit hash, bit-split sign/index,
+        # integer components, sqrt/divide/round/printf pack recipe
+        "sim_hash_embed": f"""
+            WITH t AS (SELECT doc_id,
+                         list_transform({_TOKS},
+                           x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)
+                           AS hs
+                       FROM documents),
+            c AS (SELECT doc_id, cast(len(hs) as bigint) AS n_toks,
+                     len(list_filter(hs, h -> h % 16 = 0 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 0 and (h // 16) % 2 = 0)) AS v0,
+                     len(list_filter(hs, h -> h % 16 = 1 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 1 and (h // 16) % 2 = 0)) AS v1,
+                     len(list_filter(hs, h -> h % 16 = 2 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 2 and (h // 16) % 2 = 0)) AS v2,
+                     len(list_filter(hs, h -> h % 16 = 3 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 3 and (h // 16) % 2 = 0)) AS v3,
+                     len(list_filter(hs, h -> h % 16 = 4 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 4 and (h // 16) % 2 = 0)) AS v4,
+                     len(list_filter(hs, h -> h % 16 = 5 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 5 and (h // 16) % 2 = 0)) AS v5,
+                     len(list_filter(hs, h -> h % 16 = 6 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 6 and (h // 16) % 2 = 0)) AS v6,
+                     len(list_filter(hs, h -> h % 16 = 7 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 7 and (h // 16) % 2 = 0)) AS v7,
+                     len(list_filter(hs, h -> h % 16 = 8 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 8 and (h // 16) % 2 = 0)) AS v8,
+                     len(list_filter(hs, h -> h % 16 = 9 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 9 and (h // 16) % 2 = 0)) AS v9,
+                     len(list_filter(hs, h -> h % 16 = 10 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 10 and (h // 16) % 2 = 0)) AS v10,
+                     len(list_filter(hs, h -> h % 16 = 11 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 11 and (h // 16) % 2 = 0)) AS v11,
+                     len(list_filter(hs, h -> h % 16 = 12 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 12 and (h // 16) % 2 = 0)) AS v12,
+                     len(list_filter(hs, h -> h % 16 = 13 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 13 and (h // 16) % 2 = 0)) AS v13,
+                     len(list_filter(hs, h -> h % 16 = 14 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 14 and (h // 16) % 2 = 0)) AS v14,
+                     len(list_filter(hs, h -> h % 16 = 15 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 15 and (h // 16) % 2 = 0)) AS v15
+                  FROM t),
+            n AS (SELECT *, sqrt(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15) AS nrm FROM c)
+            SELECT doc_id, n_toks,
+                   concat_ws(',',
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v0 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v1 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v2 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v3 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v4 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v5 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v6 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v7 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v8 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v9 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v10 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v11 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v12 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v13 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v14 / nrm, 4) + 0.0) END,
+                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v15 / nrm, 4) + 0.0) END) AS embed
+            FROM n ORDER BY doc_id
+        """,
         "sim_rp_reduce": _rp_oracle(),
         "x_links": _x_links_oracle(),
         "g_pagerank_web": _g_pagerank_web_oracle(),

@@ -123,6 +123,8 @@ EXTENDED = [
     # MinHash/LSH fuzzy decontamination (banded candidates + exact
     # Jaccard verify against a re-keyed benchmark slice)
     "ct_fuzzy",
+    # feature-hashing text embeddings (scan-local HOF featurizer)
+    "sim_hash_embed",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -38,6 +38,7 @@ __all__ = [
     "ivf_topk",
     "rp_project",
     "semantic_dedup",
+    "hashed_embedding",
 ]
 
 
@@ -540,3 +541,80 @@ def semantic_dedup(
             F.col("_dropped_id").isNull().alias("keep"),
         )
     )
+
+
+def hashed_embedding(
+    docs: DataFrame, dim: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009,
+    ICML, "Feature Hashing for Large Scale Multitask Learning") — the
+    deterministic, training-free featurizer that lets the embedding
+    layer (ANN top-k, SemDeDup, near-dup cosine) run on TEXT corpora
+    with no model in the loop: token t adds sign(t) at index(t), where
+    index = h48(t) mod dim and sign = parity of bit 4 (disjoint bits of
+    the one 48-bit md5-prefix hash — textstats._token_hash, the ONE
+    hash recipe), then the count vector is L2-normalized.
+
+    Output: (doc_id, n_toks, embed) with embed the ','-joined '%.4f'
+    string of the normalized vector — packed per the house array rule
+    (the driver canonicalizer cannot hash list columns); unpack with
+    ``transform(split(embed, ','), x -> cast(x as double))`` to feed
+    cosine/ANN operators. An all-cancelled (zero-norm) vector packs as
+    dim zeros rather than NaNs.
+
+    Cross-engine float recipe: components are INTEGER sign-counts
+    (exact); norm = sqrt of their integer square-sum and the division
+    are single deterministic IEEE ops; round(.,4) then +0.0 (-0.0
+    normalization) then '%.4f' — the media_features_packed formula.
+
+    Scale shape: entirely SCAN-LOCAL — one staged hash-array projection
+    (the CSE rule: the array is referenced 2*dim times by the
+    interpreted higher-order filters), one staged component projection,
+    no shuffle, no Python. Cost is O(dim * tokens) per doc.
+
+    DuckDB oracle: `q: sim_hash_embed` (same bit-split, same formula).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from .textstats import _token_hash, tokens
+
+    staged = docs.select(
+        "doc_id",
+        F.transform(
+            tokens(F.col(text_col)), lambda t: _token_hash(t)
+        ).alias("_h48"),
+    )
+    comps = staged.select(
+        "doc_id",
+        F.size("_h48").cast("long").alias("n_toks"),
+        *[
+            (
+                F.expr(
+                    f"size(filter(_h48, h -> h % {dim} = {i}"
+                    " AND (h div 16) % 2 = 1))"
+                )
+                - F.expr(
+                    f"size(filter(_h48, h -> h % {dim} = {i}"
+                    " AND (h div 16) % 2 = 0))"
+                )
+            )
+            .cast("long")
+            .alias(f"_v{i}")
+            for i in range(dim)
+        ],
+    )
+    sq = " + ".join(f"_v{i} * _v{i}" for i in range(dim))
+    normed = comps.withColumn("_norm", F.expr(f"sqrt({sq})"))
+    embed = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col("_norm") == 0, F.lit("0.0000")).otherwise(
+                F.format_string(
+                    "%.4f",
+                    F.round(F.col(f"_v{i}") / F.col("_norm"), 4) + F.lit(0.0),
+                )
+            )
+            for i in range(dim)
+        ],
+    )
+    return normed.select("doc_id", "n_toks", embed.alias("embed"))

@@ -185,3 +185,81 @@ def test_semantic_dedup_deterministic_under_partitioning(spark, emb):
         )
     )
     assert a == b
+
+
+def test_hashed_embedding_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from ocr_pipeline_spark.operators.similarity import hashed_embedding
+
+    rows = [(0, "a b c a"), (1, "a b c a"), (2, "x y z w q"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_toks"], r["embed"])
+        for r in hashed_embedding(df).collect()
+    }
+
+    def h48(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+
+    def emb(text, dim=16):
+        norm = " ".join((text or "").lower().split())
+        toks = norm.split(" ")
+        v = [0] * dim
+        for t in toks:
+            h = h48(t)
+            v[h % dim] += 1 if (h // 16) % 2 == 1 else -1
+        n = math.sqrt(sum(x * x for x in v))
+        if n == 0:
+            return ",".join("0.0000" for _ in v), len(toks)
+        return (
+            ",".join("%.4f" % (round(x / n, 4) + 0.0) for x in v),
+            len(toks),
+        )
+
+    for i, t in rows:
+        e, n = emb(t)
+        assert got[i] == (n, e), i
+    assert got[0] == got[1]           # deterministic featurizer
+
+
+def test_hashed_embedding_feeds_cosine(spark):
+    """The bridge contract: unpacking the embed string gives a unit
+    vector whose self-cosine is 1 and whose cosine against a different
+    doc is in [-1, 1]."""
+    from ocr_pipeline_spark.operators.similarity import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(0, "spark shuffles the partition keys"), (1, "entirely other words here")],
+        "doc_id long, text string",
+    )
+    vecs = hashed_embedding(df).selectExpr(
+        "doc_id",
+        "transform(split(embed, ','), x -> cast(x as double)) AS v",
+    )
+    a = vecs.selectExpr(
+        "doc_id",
+        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x) AS n2",
+    ).collect()
+    for r in a:
+        assert abs(r["n2"] - 1.0) < 2e-3    # unit norm within rounding
+
+
+def test_hashed_embedding_is_scan_local(spark):
+    from ocr_pipeline_spark.operators.similarity import hashed_embedding
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = hashed_embedding(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hashed_embedding_rejects_bad_dim(spark):
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.similarity import hashed_embedding
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        hashed_embedding(df, dim=0)
