@@ -143,6 +143,7 @@ from ocr_pipeline_spark.operators.urlkit import (
     EDGE_URLS,
     HOST_RE,
     PATH_RE,
+    url_dedup,
     url_rule_verdicts,
     with_canonical_url,
 )
@@ -294,6 +295,8 @@ _VALIDATION_PRIORITY = [
     "ts_card_scrub",
     "ct_fuzzy",
     "sim_hash_embed",
+    "dd_url_dedup",
+    "sim_text_near_dup",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -728,6 +731,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_hash_embed": lambda s, d: hashed_embedding(
             _t(s, d, "documents")
         ).orderBy("doc_id"),
+        # end-to-end text near-dup on the SCALE path: hashed embeddings
+        # unpacked from the packed '%.4f' strings (both engines parse
+        # the identical strings, so every double is bit-equal by
+        # construction) -> LSH-bucketed cosine_near_dup, never all-pairs
+        "sim_text_near_dup": lambda s, d: cosine_near_dup(
+            hashed_embedding(_t(s, d, "documents")).selectExpr(
+                "doc_id AS vec_id",
+                "transform(split(embed, ','), x -> cast(x as double))"
+                " AS embedding",
+            ),
+            threshold=0.95,
+            n_planes=4,
+            dim=16,
+            seed=0,
+        ).orderBy("vec_a", "vec_b"),
         "sim_rp_reduce": lambda s, d: rp_project(_t(s, d, "embeddings"))
         .withColumn(
             "rp",
@@ -891,6 +909,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 BLOCK_RULES, "domain string, path_prefix string, category string"
             ),
         ).orderBy("url"),
+        # crawl-frontier URL dedup: canonicalize, then elect one raw
+        # url per canonical form (operators/urlkit.py:url_dedup); same
+        # synth+EDGE_URLS corpus as url_canonical so the collapses are
+        # exercised (ports, fragments, trailing slashes, index.html)
+        "dd_url_dedup": lambda s, d: url_dedup(
+            _synth_pages_df(s)
+            .select("url")
+            .union(s.createDataFrame([(u,) for u in EDGE_URLS], "url string"))
+        ).orderBy("canonical_url"),
         "url_canonical": lambda s, d: with_canonical_url(
             _synth_pages_df(s)
             .select("url")
@@ -1990,7 +2017,11 @@ def _cos_sql(u: str, v: str) -> str:
 
 
 def _near_dup_sql(
-    threshold: float = 0.7, n_planes: int = 4, dim: int = 64, seed: int = 0
+    threshold: float = 0.7,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 0,
+    source_cte: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
 ) -> str:
     """LSH-bucketed near-dup oracle: the hyperplane constants are the SAME
     md5-derived doubles the Spark operator uses (imported, inlined as
@@ -2002,7 +2033,7 @@ def _near_dup_sql(
         for i, p in enumerate(planes)
     )
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS ({source_cte}),
         b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
         pairs AS (
           SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -2641,6 +2672,47 @@ def _url_corpus(n: int = 150, seed: int = 42) -> list[str]:
     (n, seed), from the cached kernel pass) + the EDGE_URLS rewrite-step
     corpus. Mirrors the Spark query's union exactly."""
     return [u for u, _, _ in _extract_expected(n, seed)] + list(EDGE_URLS)
+
+
+def _hash_embed_sql() -> str:
+    """DuckDB replay of similarity.hashed_embedding over documents:
+    (doc_id, n_toks, embed packed '%.4f' string). Shared by the
+    sim_hash_embed oracle and the sim_text_near_dup source CTE."""
+    sq = " + ".join(f"v{i} * v{i}" for i in range(16))
+    comps = ",\n                     ".join(
+        f"CASE WHEN nrm = 0 THEN '0.0000' "
+        f"ELSE printf('%.4f', round(v{i} / nrm, 4) + 0.0) END"
+        for i in range(16)
+    )
+    return f"""
+            WITH t AS (SELECT doc_id,
+                         list_transform({_TOKS},
+                           x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)
+                           AS hs
+                       FROM documents),
+            c AS (SELECT doc_id, cast(len(hs) as bigint) AS n_toks,
+                     len(list_filter(hs, h -> h % 16 = 0 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 0 and (h // 16) % 2 = 0)) AS v0,
+                     len(list_filter(hs, h -> h % 16 = 1 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 1 and (h // 16) % 2 = 0)) AS v1,
+                     len(list_filter(hs, h -> h % 16 = 2 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 2 and (h // 16) % 2 = 0)) AS v2,
+                     len(list_filter(hs, h -> h % 16 = 3 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 3 and (h // 16) % 2 = 0)) AS v3,
+                     len(list_filter(hs, h -> h % 16 = 4 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 4 and (h // 16) % 2 = 0)) AS v4,
+                     len(list_filter(hs, h -> h % 16 = 5 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 5 and (h // 16) % 2 = 0)) AS v5,
+                     len(list_filter(hs, h -> h % 16 = 6 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 6 and (h // 16) % 2 = 0)) AS v6,
+                     len(list_filter(hs, h -> h % 16 = 7 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 7 and (h // 16) % 2 = 0)) AS v7,
+                     len(list_filter(hs, h -> h % 16 = 8 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 8 and (h // 16) % 2 = 0)) AS v8,
+                     len(list_filter(hs, h -> h % 16 = 9 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 9 and (h // 16) % 2 = 0)) AS v9,
+                     len(list_filter(hs, h -> h % 16 = 10 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 10 and (h // 16) % 2 = 0)) AS v10,
+                     len(list_filter(hs, h -> h % 16 = 11 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 11 and (h // 16) % 2 = 0)) AS v11,
+                     len(list_filter(hs, h -> h % 16 = 12 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 12 and (h // 16) % 2 = 0)) AS v12,
+                     len(list_filter(hs, h -> h % 16 = 13 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 13 and (h // 16) % 2 = 0)) AS v13,
+                     len(list_filter(hs, h -> h % 16 = 14 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 14 and (h // 16) % 2 = 0)) AS v14,
+                     len(list_filter(hs, h -> h % 16 = 15 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 15 and (h // 16) % 2 = 0)) AS v15
+                  FROM t),
+            n AS (SELECT *, sqrt({sq}) AS nrm FROM c)
+            SELECT doc_id, n_toks,
+                   concat_ws(',',
+                     {comps}) AS embed
+            FROM n"""
 
 
 def _rule_url_corpus(n: int = 150, seed: int = 42) -> list[str]:
@@ -3759,6 +3831,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY src_id, dst_id
         """,
         "sim_near_dup": _near_dup_sql(threshold=0.3),
+        "sim_text_near_dup": _near_dup_sql(
+            threshold=0.95,
+            n_planes=4,
+            dim=16,
+            seed=0,
+            source_cte=(
+                "SELECT doc_id AS vec_id, "
+                "list_transform(string_split(embed, ','), "
+                "x -> x::DOUBLE) AS v FROM (" + _hash_embed_sql() + ")"
+            ),
+        ) + " ORDER BY vec_a, vec_b",
         "ml_kmeans_cells": _kmeans_oracle(),
         "sim_dup_clusters": f"""
             WITH RECURSIVE base AS (
@@ -4287,51 +4370,7 @@ def oracle_sql() -> dict[str, str]:
         # expressible over the pre-registered views)
         # sim_hash_embed: same 48-bit hash, bit-split sign/index,
         # integer components, sqrt/divide/round/printf pack recipe
-        "sim_hash_embed": f"""
-            WITH t AS (SELECT doc_id,
-                         list_transform({_TOKS},
-                           x -> ('0x' || substr(md5(x), 1, 12))::BIGINT)
-                           AS hs
-                       FROM documents),
-            c AS (SELECT doc_id, cast(len(hs) as bigint) AS n_toks,
-                     len(list_filter(hs, h -> h % 16 = 0 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 0 and (h // 16) % 2 = 0)) AS v0,
-                     len(list_filter(hs, h -> h % 16 = 1 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 1 and (h // 16) % 2 = 0)) AS v1,
-                     len(list_filter(hs, h -> h % 16 = 2 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 2 and (h // 16) % 2 = 0)) AS v2,
-                     len(list_filter(hs, h -> h % 16 = 3 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 3 and (h // 16) % 2 = 0)) AS v3,
-                     len(list_filter(hs, h -> h % 16 = 4 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 4 and (h // 16) % 2 = 0)) AS v4,
-                     len(list_filter(hs, h -> h % 16 = 5 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 5 and (h // 16) % 2 = 0)) AS v5,
-                     len(list_filter(hs, h -> h % 16 = 6 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 6 and (h // 16) % 2 = 0)) AS v6,
-                     len(list_filter(hs, h -> h % 16 = 7 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 7 and (h // 16) % 2 = 0)) AS v7,
-                     len(list_filter(hs, h -> h % 16 = 8 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 8 and (h // 16) % 2 = 0)) AS v8,
-                     len(list_filter(hs, h -> h % 16 = 9 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 9 and (h // 16) % 2 = 0)) AS v9,
-                     len(list_filter(hs, h -> h % 16 = 10 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 10 and (h // 16) % 2 = 0)) AS v10,
-                     len(list_filter(hs, h -> h % 16 = 11 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 11 and (h // 16) % 2 = 0)) AS v11,
-                     len(list_filter(hs, h -> h % 16 = 12 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 12 and (h // 16) % 2 = 0)) AS v12,
-                     len(list_filter(hs, h -> h % 16 = 13 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 13 and (h // 16) % 2 = 0)) AS v13,
-                     len(list_filter(hs, h -> h % 16 = 14 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 14 and (h // 16) % 2 = 0)) AS v14,
-                     len(list_filter(hs, h -> h % 16 = 15 and (h // 16) % 2 = 1)) - len(list_filter(hs, h -> h % 16 = 15 and (h // 16) % 2 = 0)) AS v15
-                  FROM t),
-            n AS (SELECT *, sqrt(v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3 + v4 * v4 + v5 * v5 + v6 * v6 + v7 * v7 + v8 * v8 + v9 * v9 + v10 * v10 + v11 * v11 + v12 * v12 + v13 * v13 + v14 * v14 + v15 * v15) AS nrm FROM c)
-            SELECT doc_id, n_toks,
-                   concat_ws(',',
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v0 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v1 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v2 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v3 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v4 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v5 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v6 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v7 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v8 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v9 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v10 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v11 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v12 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v13 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v14 / nrm, 4) + 0.0) END,
-                     CASE WHEN nrm = 0 THEN '0.0000' ELSE printf('%.4f', round(v15 / nrm, 4) + 0.0) END) AS embed
-            FROM n ORDER BY doc_id
-        """,
+        "sim_hash_embed": _hash_embed_sql() + " ORDER BY doc_id",
         "sim_rp_reduce": _rp_oracle(),
         "x_links": _x_links_oracle(),
         "g_pagerank_web": _g_pagerank_web_oracle(),
@@ -4369,6 +4408,18 @@ def oracle_sql() -> dict[str, str]:
         # url_rules: same suffix expansion + rule join, urls and rules
         # inlined from the shared Python constants (EDGE_URLS recipe);
         # HOST_RE/PATH_RE are the kernel-is-spec pattern strings
+        # dd_url_dedup: the CANON chain + min-election per canonical
+        "dd_url_dedup": f"""
+            WITH u AS (SELECT url FROM (VALUES {", ".join(
+                f"('{_sql_quote(x)}')" for x in _url_corpus()
+            )}) t(url)),
+            c AS (SELECT url, {CANON_STEPS_SQL("url")} AS canonical_url
+                  FROM u)
+            SELECT canonical_url,
+                   cast(count(*) as bigint) AS n_urls,
+                   min(url) AS kept_url
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
         "url_rules": f"""
             WITH u AS (SELECT url FROM (VALUES {", ".join(
                 f"('{_sql_quote(u)}')" for u in _rule_url_corpus()

@@ -125,6 +125,10 @@ EXTENDED = [
     "ct_fuzzy",
     # feature-hashing text embeddings (scan-local HOF featurizer)
     "sim_hash_embed",
+    # crawl-frontier canonical-URL dedup (scan-local canon + groupBy)
+    "dd_url_dedup",
+    # text near-dup end-to-end: hashed embeddings -> LSH-gated cosine
+    "sim_text_near_dup",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

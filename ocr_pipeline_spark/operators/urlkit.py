@@ -41,6 +41,7 @@ __all__ = [
     "host_of",
     "path_of",
     "url_rule_verdicts",
+    "url_dedup",
 ]
 
 # Edge-case corpus exercising every rewrite step (and the anchoring
@@ -215,4 +216,36 @@ def url_rule_verdicts(
         )
         .groupBy("url")
         .agg(F.min("category").alias("category"))
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical-URL exact dedup — the crawl-side dedup stage that runs
+    BEFORE fetch/extraction ever sees a byte (Common-Crawl-style
+    frontier hygiene): group rows by :func:`canonical_url` and elect
+    the lexicographically smallest raw url as the group's canonical
+    representative. ``https://Example.COM/a?`` and
+    ``http://example.com:80/a`` collapse to one fetch.
+
+    Output: (canonical_url, n_urls, kept_url) — one row per distinct
+    canonical form. Compose ``pages.join(out.select('kept_url'),
+    pages.url == kept_url, 'left_semi')`` to keep one page per
+    resource.
+
+    Scale shape: canonicalization is a scan-local regexp chain; the
+    election is ONE groupBy on the canonical string (urls are short
+    keys — the house payload rule is about html/text, which never
+    enters this operator) with map-side partial min/count.
+
+    DuckDB oracle: `q: dd_url_dedup` (CANON_STEPS_SQL — the chain is
+    DERIVED from the same _STEPS list).
+    """
+    return (
+        pages.select(F.col(url_col).alias("url"))
+        .select("url", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("url").alias("kept_url"),
+        )
     )

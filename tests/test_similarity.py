@@ -263,3 +263,32 @@ def test_hashed_embedding_rejects_bad_dim(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         hashed_embedding(df, dim=0)
+
+
+def test_text_near_dup_end_to_end(spark):
+    """The documents->hashed-embedding->LSH-cosine chain must flag a
+    lightly-edited copy and not an unrelated doc, and the plan must
+    stay the bucketed equi-join (never all-pairs)."""
+    from ocr_pipeline_spark.operators.similarity import (
+        cosine_near_dup,
+        hashed_embedding,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base.replace("w3", "edited")),
+        (3, "totally different vocabulary " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hashed_embedding(docs).selectExpr(
+        "doc_id AS vec_id",
+        "transform(split(embed, ','), x -> cast(x as double)) AS embedding",
+    )
+    out = cosine_near_dup(vecs, threshold=0.8, n_planes=4, dim=16, seed=0)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

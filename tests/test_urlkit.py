@@ -148,3 +148,46 @@ def test_url_rule_verdicts_left_anti_composition(spark):
     hits = url_rule_verdicts(pages, rules)
     kept = pages.join(hits, "url", "left_anti").collect()
     assert [r["url"] for r in kept] == ["https://siteok.example/page/2"]
+
+
+def test_url_dedup_collapses_canonical_aliases(spark):
+    from ocr_pipeline_spark.operators.urlkit import url_dedup
+
+    urls = [
+        "HTTPS://Example.COM/a",        # case
+        "https://example.com:443/a",    # default port
+        "https://example.com/a?",       # bare ?
+        "https://example.com/a#frag",   # fragment
+        "https://example.com/b",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["canonical_url"]: (r["n_urls"], r["kept_url"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "https://example.com/a": (4, "HTTPS://Example.COM/a"),
+        "https://example.com/b": (1, "https://example.com/b"),
+    }
+
+
+def test_url_dedup_left_semi_composition(spark):
+    from ocr_pipeline_spark.operators.urlkit import url_dedup
+
+    pages = spark.createDataFrame(
+        [
+            ("https://example.com/a", b"x"),
+            ("https://example.com/a?", b"y"),
+            ("https://example.com/b", b"z"),
+        ],
+        "url string, html binary",
+    )
+    kept = pages.join(
+        url_dedup(pages).select(F.col("kept_url").alias("url")),
+        "url",
+        "left_semi",
+    )
+    assert sorted(r["url"] for r in kept.collect()) == [
+        "https://example.com/a",
+        "https://example.com/b",
+    ]
