@@ -149,6 +149,8 @@ from ocr_pipeline_spark.operators.urlkit import (
 )
 from ocr_pipeline_spark.operators.temporal import (
     asof_join,
+    cohort_retention,
+    event_funnel,
     interval_join_count,
     sessionize,
 )
@@ -297,6 +299,8 @@ _VALIDATION_PRIORITY = [
     "sim_hash_embed",
     "dd_url_dedup",
     "sim_text_near_dup",
+    "t_funnel",
+    "t_retention",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -1021,6 +1025,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shard_col="lang",
         ),
         # -- temporal: as-of join / interval join / session windows --------
+        # ordered-funnel analysis (windowFunnel semantics: greedy
+        # earliest completion, strict order, 7-day window anchored at
+        # step 1; operators/temporal.py:event_funnel)
+        "t_funnel": lambda s, d: event_funnel(
+            _t(s, d, "events")
+        ).orderBy("user_id"),
+        # cohort retention matrix over dialect-free epoch weeks
+        # (operators/temporal.py:cohort_retention)
+        "t_retention": lambda s, d: cohort_retention(
+            _t(s, d, "events")
+        ).orderBy("cohort_week", "week_offset"),
         "t_asof_last_click": _t_asof_last_click,
         "t_interval_clicks": _t_interval_clicks,
         "t_sessions": _t_sessions,
@@ -4136,6 +4151,50 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id,
                          ('0x' || substr(md5('split0_' || doc_id::VARCHAR), 1, 12))::BIGINT % 10000 AS b
                   FROM documents)
+        """,
+        # t_funnel: per-step chained LEFT joins with min(CASE ...) so a
+        # key with only out-of-order/window events keeps its row
+        "t_funnel": """
+            WITH base AS (SELECT user_id AS k, event_type AS et,
+                                 floor(epoch(ts))::BIGINT AS e FROM events),
+            s1 AS (SELECT k, min(e) AS t1 FROM base
+                   WHERE et = 'signup' GROUP BY k),
+            s2 AS (SELECT s1.k, any_value(s1.t1) AS t1,
+                          min(CASE WHEN b.e > s1.t1
+                                    AND b.e <= s1.t1 + 604800
+                                   THEN b.e END) AS t2
+                   FROM s1 LEFT JOIN base b
+                     ON b.k = s1.k AND b.et = 'view'
+                   GROUP BY s1.k),
+            s3 AS (SELECT s2.k, any_value(s2.t1) AS t1,
+                          any_value(s2.t2) AS t2,
+                          min(CASE WHEN b.e > s2.t2
+                                    AND b.e <= s2.t1 + 604800
+                                   THEN b.e END) AS t3
+                   FROM s2 LEFT JOIN base b
+                     ON b.k = s2.k AND b.et = 'purchase'
+                   GROUP BY s2.k)
+            SELECT k AS user_id,
+                   cast(1 + (t2 IS NOT NULL)::INT
+                          + (t3 IS NOT NULL)::INT as bigint)
+                     AS funnel_level,
+                   cast(t1 as bigint) AS t1,
+                   cast(t2 as bigint) AS t2,
+                   cast(t3 as bigint) AS t3
+            FROM s3 ORDER BY user_id
+        """,
+        # t_retention: integer epoch-week cohorts (no calendar dialect)
+        "t_retention": """
+            WITH b AS (SELECT user_id AS k,
+                              floor(epoch(ts))::BIGINT // 604800 AS w
+                       FROM events),
+            c AS (SELECT k, min(w) AS cw FROM b GROUP BY k),
+            a AS (SELECT DISTINCT k, w FROM b)
+            SELECT cast(c.cw as bigint) AS cohort_week,
+                   cast(a.w - c.cw as bigint) AS week_offset,
+                   cast(count(DISTINCT a.k) as bigint) AS n_active
+            FROM a JOIN c USING (k)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "t_asof_last_click": """
             SELECT e.event_id, e.user_id, e.ts, coalesce(c.value, -1.0) AS asof_value

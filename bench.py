@@ -129,6 +129,10 @@ EXTENDED = [
     "dd_url_dedup",
     # text near-dup end-to-end: hashed embeddings -> LSH-gated cosine
     "sim_text_near_dup",
+    # windowFunnel-style ordered funnel (per-step short-key groupBys)
+    "t_funnel",
+    # cohort retention over dialect-free epoch weeks
+    "t_retention",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join_count", "sessionize"]
+__all__ = [
+    "asof_join",
+    "interval_join_count",
+    "sessionize",
+    "event_funnel",
+    "cohort_retention",
+]
 
 
 def asof_join(
@@ -134,4 +140,126 @@ def sessionize(
             F.col("sw.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    window_seconds: int = 7 * 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis (the windowFunnel of event-analytics
+    engines — ClickHouse windowFunnel, Amplitude funnels): per key, the
+    number of ``steps`` completed IN ORDER within ``window_seconds`` of
+    the first step, using greedy earliest-completion semantics — step k
+    is satisfied by the EARLIEST step-k event strictly after the chosen
+    step-(k-1) event and within the window anchored at step 1.
+
+    Output: (key, funnel_level, t1..tN epoch-second bigints, NULL past
+    the reached level) — one row per key that performed step 1;
+    funnel_level in 1..len(steps).
+
+    Scale shape: one filtered groupBy per step (map-side min over
+    (key, epoch) shorts) chained by equi-joins on the key — no window
+    over the raw event stream, no per-key event materialization;
+    len(steps) shuffles of key-sized frames. Greedy-earliest is the
+    standard semantics because it is prefix-monotone: a user's level
+    never depends on events after their window.
+
+    DuckDB oracle: `q: t_funnel` (same CTE chain, same strict
+    inequalities, epoch-second integers on both sides).
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {steps!r}")
+    # NTZ -> TIMESTAMP -> long = UTC epoch seconds (session timezone
+    # is pinned to UTC in session.get_spark, so this matches DuckDB's
+    # epoch() exactly; Spark 4 refuses the direct NTZ->BIGINT cast)
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(type_col).alias("et"),
+        ep.alias("e"),
+    )
+    cur = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("k")
+        .agg(F.min("e").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = base.filter(F.col("et") == step).select(
+            "k", F.col("e").alias("_e")
+        )
+        # when()-null instead of filter: a key whose step-i events are
+        # all out of order/window must KEEP its row (min over all-null
+        # = NULL = level stops here), never vanish from the funnel. A
+        # NULL t_{i-1} propagates NULL through the comparison, so
+        # levels can never skip a gap.
+        cur = (
+            cur.join(nxt, "k", "left")
+            .select(
+                "k",
+                *[f"t{j}" for j in range(1, i)],
+                F.when(
+                    (F.col("_e") > F.col(f"t{i - 1}"))
+                    & (
+                        F.col("_e")
+                        <= F.col("t1") + F.lit(window_seconds)
+                    ),
+                    F.col("_e"),
+                ).alias("_v"),
+            )
+            .groupBy("k", *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("_v").alias(f"t{i}"))
+        )
+    # funnel_level counts the non-null prefix (gaps cannot be skipped
+    # by construction above)
+    lvl = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        lvl = lvl + F.col(f"t{i}").isNotNull().cast("long")
+    return cur.select(
+        F.col("k").alias(key_col),
+        lvl.cast("long").alias("funnel_level"),
+        *[F.col(f"t{i}").cast("long").alias(f"t{i}") for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — the other event-analytics staple: keys
+    are cohorted by the epoch-week of their FIRST event; each later
+    active epoch-week contributes to (cohort_week, week_offset,
+    n_active). Epoch weeks are floor(epoch_seconds / 604800) — pure
+    integer bucketing, no calendar/timezone/week-start dialect to
+    drift between engines.
+
+    Output: (cohort_week, week_offset, n_active) with week_offset >= 0
+    and the offset-0 cell = cohort size (every key is active in its
+    first week by definition).
+
+    Scale shape: first-event cohorting is one groupBy(key) min; the
+    activity set is a distinct over (key, week) shorts; one equi-join
+    on the key and a final small groupBy — all short-key shuffles with
+    map-side partials.
+
+    DuckDB oracle: `q: t_retention`.
+    """
+    wk = (
+        F.col(ts_col).cast("timestamp").cast("long") / F.lit(604800)
+    ).cast("long")
+    base = events.select(F.col(key_col).alias("k"), wk.alias("w"))
+    cohort = base.groupBy("k").agg(F.min("w").alias("cw"))
+    active = base.distinct()
+    return (
+        active.join(cohort, "k")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("k").cast("long").alias("n_active"))
     )

@@ -97,3 +97,67 @@ def test_asof_join_latest_null_value_wins(spark):
     (r,) = asof_join(trades, quotes, ["sym"], "ts", ["px"]).collect()
     # latest right ROW (15:00, px=NULL) wins — not the stale 100.0
     assert r["asof_px"] is None
+
+
+def test_event_funnel_semantics(spark):
+    """Greedy earliest completion, strict order, window anchored at
+    step 1 — including the no-vanish rule for keys whose later-step
+    events are all out of order/window."""
+    from datetime import datetime as dt
+
+    from ocr_pipeline_spark.operators.temporal import event_funnel
+
+    rows = [
+        (1, dt(2026, 1, 1, 10), 1, "signup"),
+        (2, dt(2026, 1, 2, 10), 1, "view"),
+        (3, dt(2026, 1, 3, 10), 1, "purchase"),     # level 3
+        (4, dt(2026, 1, 1, 10), 2, "signup"),
+        (5, dt(2026, 1, 2, 10), 2, "purchase"),     # before view: no count
+        (6, dt(2026, 1, 4, 10), 2, "view"),          # level 2
+        (7, dt(2026, 1, 1, 10), 3, "signup"),        # level 1
+        (8, dt(2026, 1, 1, 10), 4, "signup"),
+        (9, dt(2026, 1, 10, 10), 4, "view"),         # out of 7d window: level 1
+        (10, dt(2026, 1, 1, 10), 5, "view"),
+        (11, dt(2026, 1, 2, 10), 5, "purchase"),     # never signed up: absent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["user_id"]: r["funnel_level"] for r in event_funnel(df).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime as dt
+
+    from ocr_pipeline_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, dt(2026, 1, 1), 1, "view"),
+        (2, dt(2026, 1, 2), 1, "view"),    # same epoch week: one cell
+        (3, dt(2026, 1, 9), 1, "view"),    # next week: offset 1
+        (4, dt(2026, 1, 1), 2, "view"),    # same cohort, week 0 only
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in cohort_retention(df).collect()
+    }
+    offsets = {k[1]: v for k, v in got.items()}
+    assert offsets == {0: 2, 1: 1}
+    # offset-0 cell equals the cohort size by definition
+    assert max(k[1] for k in got) == 1
+
+
+def test_event_funnel_rejects_short_steps(spark):
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.temporal import event_funnel
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with _pytest.raises(ValueError):
+        event_funnel(df, steps=("only",))
