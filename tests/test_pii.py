@@ -62,3 +62,51 @@ def test_card_scrub_is_scan_local(spark):
     df = with_card_scrub(docs.select("doc_id", "text"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_card_scrub_luhn_randomized_batch(spark):
+    """200 seeded random 13-19 digit numbers, half mutated to break the
+    checksum: the Spark-side Luhn must agree with the reference Python
+    Luhn on every one (single Spark job, batched)."""
+    import random
+
+    from ocr_pipeline_spark.operators.pii import with_card_scrub
+
+    rng = random.Random(20260818)
+
+    def luhn_fix(digits):
+        # set the last digit so the number passes Luhn
+        total = 0
+        for i, c in enumerate(reversed(digits[:-1]), start=1):
+            v = int(c)
+            if i % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return digits[:-1] + str((10 - total % 10) % 10)
+
+    rows = []
+    want = []
+    for i in range(200):
+        n = rng.randint(13, 19)
+        digits = "".join(str(rng.randint(0, 9)) for _ in range(n))
+        valid = i % 2 == 0
+        digits = luhn_fix(digits) if valid else digits
+        # recompute validity (a random number may pass by chance)
+        total = 0
+        for j, c in enumerate(reversed(digits), start=1):
+            v = int(c)
+            if j % 2 == 0:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        rows.append((i, f"num {digits} end"))
+        want.append((i, 1 if total % 10 == 0 else 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_card"] for r in with_card_scrub(df).collect()
+    }
+    for i, w in want:
+        assert got[i] == w, (i, rows[i])

@@ -161,3 +161,60 @@ def test_event_funnel_rejects_short_steps(spark):
     )
     with _pytest.raises(ValueError):
         event_funnel(df, steps=("only",))
+
+
+def test_event_funnel_randomized_matches_python_replay(spark):
+    """Seeded random event streams: the chained-join funnel must agree
+    with a direct Python replay of the greedy-earliest spec for every
+    user (one Spark job, 60 users)."""
+    import random
+    from datetime import datetime as dt, timedelta
+
+    from ocr_pipeline_spark.operators.temporal import event_funnel
+
+    rng = random.Random(7)
+    steps = ("signup", "view", "purchase")
+    window = 7 * 86400
+    rows = []
+    eid = 0
+    t0 = dt(2026, 1, 1)
+    for uid in range(60):
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    t0 + timedelta(seconds=rng.randint(0, 30 * 86400)),
+                    uid,
+                    rng.choice(steps + ("click", "error")),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["user_id"]: r["funnel_level"] for r in event_funnel(df).collect()
+    }
+
+    per_user = {}
+    for _, ts, uid, et in rows:
+        per_user.setdefault(uid, []).append((int(ts.timestamp()), et))
+    want = {}
+    for uid, evs in per_user.items():
+        s1 = [e for e, t in evs if t == steps[0]]
+        if not s1:
+            continue
+        t1 = min(s1)
+        level, prev = 1, t1
+        for step in steps[1:]:
+            cand = [
+                e
+                for e, t in evs
+                if t == step and e > prev and e <= t1 + window
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            level += 1
+        want[uid] = level
+    assert got == want

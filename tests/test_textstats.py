@@ -307,3 +307,42 @@ def test_mojibake_is_scan_local(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert docs.count() == df.count()
+
+
+def test_source_drift_randomized_matches_fractions(spark):
+    """Seeded random corpora: tvd_bp must equal the exact rational TVD
+    floor for every group, across several corpus shapes (one Spark job
+    per corpus, 5 corpora)."""
+    import random
+    from collections import Counter
+    from fractions import Fraction
+
+    from ocr_pipeline_spark.operators.textstats import source_drift
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(5):
+        rows = []
+        for did in range(40):
+            g = f"g{rng.randint(0, 3)}"
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+            rows.append((did, text, g))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r["grp"]: r["tvd_bp"] for r in source_drift(df).collect()}
+
+        corpus = Counter()
+        groups = {}
+        for _, t, g in rows:
+            ts = t.split(" ")
+            corpus.update(ts)
+            groups.setdefault(g, Counter()).update(ts)
+        n = sum(corpus.values())
+        for g, cnt in groups.items():
+            ng = sum(cnt.values())
+            tvd = sum(
+                abs(Fraction(cnt.get(t, 0), ng) - Fraction(c, n))
+                for t, c in corpus.items()
+            ) / 2
+            assert got[g] == (10000 * tvd.numerator) // tvd.denominator, (
+                trial, g,
+            )
