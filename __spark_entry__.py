@@ -739,16 +739,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unpacked from the packed '%.4f' strings (both engines parse
         # the identical strings, so every double is bit-equal by
         # construction) -> LSH-bucketed cosine_near_dup, never all-pairs
+        # two deliberate scale choices, both measured at sf0.1:
+        # (1) the unpacked frame is localCheckpointed — a DERIVED
+        #     embedding would otherwise be re-inlined into the
+        #     self-join's pair projection and the whole
+        #     tokenize+hash+pack chain re-evaluated PER CANDIDATE PAIR
+        #     (no logical CSE; 190 s before the checkpoint);
+        # (2) n_planes=10 — same-vocabulary synth docs give a CLUSTERED
+        #     16-dim cloud, so 4 planes left one mega-bucket carrying
+        #     5.0M of the 12.5M possible pairs (LSH selectivity 2.5x
+        #     only); 10 planes cut the candidate set to 462k. The
+        #     recall trade is real (per-plane agreement ~0.9 at
+        #     cos 0.95 => ~0.35 single-table) and is the documented
+        #     reason TEXT near-dup at scale belongs to the minhash
+        #     family (dd_*) — this query value-checks the embedding
+        #     BRIDGE, and the oracle replicates the gate exactly so
+        #     the definition is engine-checked either way.
         "sim_text_near_dup": lambda s, d: cosine_near_dup(
-            hashed_embedding(_t(s, d, "documents")).selectExpr(
+            hashed_embedding(_t(s, d, "documents"))
+            .selectExpr(
                 "doc_id AS vec_id",
                 "transform(split(embed, ','), x -> cast(x as double))"
                 " AS embedding",
-            ),
+            )
+            .localCheckpoint(eager=False),
             threshold=0.95,
-            n_planes=4,
+            n_planes=10,
             dim=16,
             seed=0,
+            unroll_cosine=True,
         ).orderBy("vec_a", "vec_b"),
         "sim_rp_reduce": lambda s, d: rp_project(_t(s, d, "embeddings"))
         .withColumn(
@@ -3848,7 +3867,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_near_dup": _near_dup_sql(threshold=0.3),
         "sim_text_near_dup": _near_dup_sql(
             threshold=0.95,
-            n_planes=4,
+            n_planes=10,
             dim=16,
             seed=0,
             source_cte=(
