@@ -112,7 +112,7 @@ from ocr_pipeline_spark.operators.bloom import (
     bloom_probe,
 )
 from ocr_pipeline_spark.operators.graph import pagerank
-from ocr_pipeline_spark.operators.index import term_postings
+from ocr_pipeline_spark.operators.index import bm25_search, term_postings
 from ocr_pipeline_spark.operators.links import link_rows, page_edges
 from ocr_pipeline_spark.operators.sketch import (
     cms_estimate,
@@ -301,6 +301,7 @@ _VALIDATION_PRIORITY = [
     "sim_text_near_dup",
     "t_funnel",
     "t_retention",
+    "ix_bm25",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -454,6 +455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — the media_features_packed rule, pinned by
         # test_oracle_output_dtypes); bigint->string cast is exact and
         # identical in both engines
+        # BM25-shaped exact-integer ranked retrieval over the corpus —
+        # the search query the inverted index exists to answer
+        # (operators/index.py:bm25_search); floor-log2 idf, bp-scaled
+        # tf saturation, TakeOrderedAndProject top-k
+        "ix_bm25": lambda s, d: bm25_search(
+            _t(s, d, "documents"), ("spark", "dup", "vector"), k=8
+        ),
         "ix_postings": lambda s, d: term_postings(
             _t(s, d, "documents"), n_shards=2, min_df=10
         )
@@ -3453,6 +3461,38 @@ def oracle_sql() -> dict[str, str]:
         # ix_postings: replay the two-level (term, doc) -> (term,
         # shard) aggregation; list(doc_id ORDER BY doc_id) matches
         # sort_array(collect_list); sums cast per the dtype contract
+        # ix_bm25: same integer BM25 formula (floored avgdl is spec)
+        "ix_bm25": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            s AS (SELECT cast(count(*) as bigint) AS n_docs,
+                         cast(sum(len(toks)) as bigint) AS total_len
+                  FROM t),
+            s2 AS (SELECT n_docs,
+                          cast(total_len // n_docs as bigint) AS avgdl
+                   FROM s),
+            b AS (SELECT doc_id, cast(len(toks) as bigint) AS dl,
+                         unnest(toks) AS tok
+                  FROM t),
+            m AS (SELECT doc_id, dl, tok,
+                         cast(count(*) as bigint) AS tf
+                  FROM b WHERE tok IN ('spark', 'dup', 'vector')
+                  GROUP BY 1, 2, 3),
+            d AS (SELECT tok, cast(count(*) as bigint) AS df
+                  FROM m GROUP BY 1),
+            sc AS (SELECT m.doc_id,
+                     cast(length(bin((s2.n_docs + 1) // (d.df + 1)))
+                          as bigint)
+                     * cast((10000 * m.tf * 22000)
+                            // (10000 * m.tf
+                                + (12000 * ((10000 - 7500)
+                                   + (7500 * m.dl) // s2.avgdl))
+                                  // 10000) as bigint) AS ts
+                   FROM m JOIN d USING (tok) CROSS JOIN s2)
+            SELECT doc_id, cast(sum(ts) as bigint) AS score,
+                   cast(count(*) as bigint) AS n_terms_hit
+            FROM sc GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT 8
+        """,
         "ix_postings": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term
                           FROM documents),

@@ -133,6 +133,8 @@ EXTENDED = [
     "t_funnel",
     # cohort retention over dialect-free epoch weeks
     "t_retention",
+    # BM25 exact-integer ranked retrieval (TakeOrderedAndProject top-k)
+    "ix_bm25",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens
 
-__all__ = ["term_postings"]
+__all__ = ["term_postings", "bm25_search"]
 
 
 def term_postings(
@@ -97,4 +97,94 @@ def term_postings(
         out = out.drop("_n")
     return out.select(
         "term", "shard", "df_shard", "tf_shard", "df", "postings"
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1_bp: int = 12000,
+    b_bp: int = 7500,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-shaped ranked retrieval (Robertson & Zaragoza 2009, "The
+    Probabilistic Relevance Framework: BM25 and Beyond") in EXACT
+    integer arithmetic — the search query the inverted index exists to
+    answer, rankable identically on both engines:
+
+        idf_b   = len(bin((N + 1) div (df + 1)))     # floor-log2 idf,
+                                                     # the lm.py bit trick
+        norm_bp = (10000 - b_bp) + (b_bp * dl) div avgdl
+        K_bp    = (k1_bp * norm_bp) div 10000
+        sat_bp  = (10000 * tf * (10000 + k1_bp)) div (10000 * tf + K_bp)
+        score   = sum over matched query terms of idf_b * sat_bp
+
+    with avgdl = L div N (floored — part of the spec). k1 = k1_bp/1e4,
+    b = b_bp/1e4 are the classic 1.2 / 0.75 defaults. The bit-length
+    idf is the house integer-exact form (a monotone floor of log2, the
+    same transform lm.py scores with); ranking ties break by doc_id.
+
+    Output: top-``k`` rows (doc_id, score, n_terms_hit), score/bigint.
+
+    Scale shape: one tokenize pass; the query-term filter keeps only
+    matching (doc_id, term, dl) shorts (query sets are tiny literals —
+    an IN over a handful of strings, scan-local); tf and df are
+    map-side-combinable groupBys on those shorts; the (N, L) scalars
+    broadcast; the final top-k compiles to TakeOrderedAndProject
+    (pinned) — never a global sort. INTEGER RANGE: every product is
+    bounded by b_bp*dl (~10^9 at 100k-token docs) or 10^4*tf*(2.2*10^4)
+    (~10^13) — safe in bigint at any corpus size because dl, tf are
+    PER-DOCUMENT quantities and N only enters through the idf quotient.
+
+    DuckDB oracle: `q: ix_bm25`.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    staged = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    base = (
+        staged.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode_outer("toks").alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .filter(F.col("tok").isin(list(terms)))
+    )
+    tf = base.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_len"),
+    ).select(
+        "n_docs", F.expr("total_len div n_docs").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("(n_docs + 1) div (df + 1)")))
+                .cast("long")
+                * F.expr(
+                    f"(10000 * tf * (10000 + {k1_bp})) div "
+                    f"(10000 * tf + ({k1_bp} * "
+                    f"((10000 - {b_bp}) + ({b_bp} * dl) div avgdl))"
+                    " div 10000)"
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
     )

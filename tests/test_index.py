@@ -95,3 +95,72 @@ def test_no_text_crosses_exchange(spark, docs):
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text#" not in m.group(0)
+
+
+def test_bm25_matches_python_replay(spark):
+    import re
+    from collections import Counter
+
+    from ocr_pipeline_spark.operators.index import bm25_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = ("spark", "dup", "vector")
+    got = [tuple(r) for r in bm25_search(docs, q, k=8).collect()]
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    toks = {
+        d: re.sub(r"\s+", " ", (t or "").lower(), flags=re.ASCII)
+        .strip(" ")
+        .split(" ")
+        for d, t in texts.items()
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) // n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in q}
+
+    def score(d):
+        s, hit = 0, 0
+        dl, c = len(toks[d]), Counter(toks[d])
+        for t in q:
+            tf = c.get(t, 0)
+            if not tf:
+                continue
+            hit += 1
+            idf = ((n + 1) // (df[t] + 1)).bit_length()
+            norm = 2500 + (7500 * dl) // avgdl
+            sat = (10000 * tf * 22000) // (
+                10000 * tf + (12000 * norm) // 10000
+            )
+            s += idf * sat
+        return s, hit
+
+    want = sorted(
+        ((score(d), d) for d in toks if score(d)[1]),
+        key=lambda x: (-x[0][0], x[1]),
+    )[:8]
+    assert got == [(d, s[0], s[1]) for s, d in want]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc hitting only the rare term must outrank a doc hitting only
+    an equally-frequent-within-doc common term (idf monotonicity)."""
+    from ocr_pipeline_spark.operators.index import bm25_search
+
+    rows = [(1, "rare " + "pad " * 20), (2, "common " + "pad " * 20)]
+    rows += [(10 + i, "common filler text here") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(docs, ("rare", "common"), k=30).collect()
+    }
+    assert got[1] > got[2]
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.index import bm25_search
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_search(df, ())

@@ -727,3 +727,25 @@ def test_fuzzy_decontam_candidate_generation_is_banded(spark):
     payload = _re.compile(r"(?<![A-Za-z0-9_])(text|_sh|sh|sh_b)#")
     for b in _shuffle_blocks(df):
         assert not payload.search(b), b
+
+
+def test_bm25_topk_not_global_sort(spark):
+    """bm25_search's scale contract: the final top-k compiles to
+    TakeOrderedAndProject, the (N, L) scalars broadcast (Cross build
+    only), and no exchange carries the token stream's text column."""
+    import re as _re
+
+    from ocr_pipeline_spark.operators.index import bm25_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = bm25_search(docs, ("spark", "dup", "vector"), k=8)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, ln
+    payload = _re.compile(r"(?<![A-Za-z0-9_])(text|toks)#")
+    for b in _shuffle_blocks(df):
+        assert not payload.search(b), b
