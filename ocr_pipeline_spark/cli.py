@@ -195,6 +195,21 @@ def _cmd_scrub(args) -> None:
     )
 
 
+def _cmd_search(args) -> None:
+    from .operators.index import bm25_search
+
+    spark = get_spark("cli-search", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    out = bm25_search(
+        docs, tuple(args.terms), k=args.k, text_col=args.text_col
+    )
+    for r in out.collect():
+        print(
+            f"doc {r['doc_id']:>10}  score {r['score']:>8} "
+            f"({r['n_terms_hit']}/{len(args.terms)} terms)"
+        )
+
+
 def _cmd_decontam(args) -> None:
     from .operators.decontam import contamination_flags, fuzzy_decontam
 
@@ -485,6 +500,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=_cmd_scrub)
+
+    p = sub.add_parser(
+        "search", help="BM25 ranked retrieval over a documents table"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("terms", nargs="+", help="query terms")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=_cmd_search)
 
     p = sub.add_parser(
         "decontam",
