@@ -129,6 +129,7 @@ from ocr_pipeline_spark.operators.splits import (
     reservoir_per_stratum,
     stratified_sample,
     temperature_shares,
+    curriculum_order,
 )
 from ocr_pipeline_spark.operators.layout import (
     ZBITS,
@@ -302,6 +303,7 @@ _VALIDATION_PRIORITY = [
     "t_funnel",
     "t_retention",
     "ix_bm25",
+    "sp_curriculum",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -1022,6 +1024,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # deterministic per-epoch training-order permutation: shard by
         # epoch-seeded md5, rank within shard — no RNG state anywhere
+        # curriculum training order (Bengio 2009): surprisal-band
+        # phases (head_split) x epoch-keyed in-phase permutation
+        # (operators/splits.py:curriculum_order)
+        "sp_curriculum": lambda s, d: curriculum_order(
+            _t(s, d, "documents")
+        ).orderBy("doc_id"),
         "sp_epoch_shuffle": lambda s, d: epoch_shuffle(
             _t(s, d, "documents").select("doc_id"), n_shards=4, epoch=1
         ),
@@ -4132,6 +4140,42 @@ def oracle_sql() -> dict[str, str]:
                   FROM base, b)
             SELECT event_id, ({zvalue_sql(["_q0", "_q1"], ZBITS)}) AS zval
             FROM q
+        """,
+        # sp_curriculum: lm_head_split's CTEs for the phase, then the
+        # epoch_shuffle md5-key recipe within (phase, shard)
+        "sp_curriculum": f"""
+            WITH ex AS (
+              SELECT doc_id, substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents)),
+            c AS (SELECT thash, count(*) AS cnt FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            lm AS (SELECT thash,
+                          length(bin((n_total + vocab) // (cnt + 1)))
+                            AS bits
+                   FROM c CROSS JOIN s),
+            sc AS (SELECT doc_id,
+                          cast((10000 * sum(bits)) // count(*) as bigint)
+                            AS surprisal_bp
+                   FROM ex JOIN lm USING (thash) GROUP BY doc_id),
+            ph AS (SELECT doc_id,
+                          cast(ntile(3) OVER (ORDER BY surprisal_bp,
+                                              doc_id) as bigint)
+                            AS phase
+                   FROM sc),
+            k AS (SELECT doc_id, phase,
+                         md5(doc_id::VARCHAR || ':curriculum0') AS _k
+                  FROM ph),
+            sh AS (SELECT doc_id, phase, _k,
+                          ('0x' || substr(_k, 1, 12))::BIGINT % 4
+                            AS shard
+                   FROM k)
+            SELECT doc_id, phase, cast(shard as bigint) AS shard,
+                   cast(row_number() OVER (
+                     PARTITION BY phase, shard ORDER BY _k, doc_id)
+                     as bigint) AS pos
+            FROM sh ORDER BY doc_id
         """,
         "sp_epoch_shuffle": """
             SELECT doc_id,

@@ -135,6 +135,8 @@ EXTENDED = [
     "t_retention",
     # BM25 exact-integer ranked retrieval (TakeOrderedAndProject top-k)
     "ix_bm25",
+    # curriculum order (surprisal phases x epoch-keyed permutation)
+    "sp_curriculum",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

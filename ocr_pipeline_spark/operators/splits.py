@@ -22,6 +22,7 @@ from .textstats import _token_hash
 __all__ = [
     "temperature_shares",
     "epoch_shuffle",
+    "curriculum_order",
     "mix_token_budget",
     "write_epoch_shards",
     "split_label",
@@ -465,4 +466,70 @@ def temperature_shares(docs: DataFrame, temperature_x2: int = 4) -> DataFrame:
         "w",
         F.expr("(10000 * w) div _sw").alias("share_bp"),
         F.expr("(10000 * n_toks) div _sn").alias("natural_bp"),
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_phases: int = 3,
+    n_shards: int = 4,
+    epoch: int = 0,
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009, "Curriculum
+    Learning"): stream 'easy' documents first — phases are surprisal
+    bands from the corpus-trained LM (phase 1 = the fluent
+    low-perplexity head, the CCNet-quality slice), and WITHIN each
+    phase the order is the deterministic epoch-keyed pseudo-random
+    permutation (the epoch_shuffle idiom: no RNG state; stable under
+    reruns, repartitioning and appends). A training run reads phases in
+    order and a shuffled stream within each.
+
+    phase  = head_split ntile band (``approx=True`` swaps in
+             head_split_approx's histogram thresholds — the
+             no-global-sort scale form, same contract as head_split's
+             own docstring);
+    _k     = md5(doc_id ':curriculum' epoch)  (32-hex, per-epoch);
+    shard  = first-48-bits(_k) mod n_shards;
+    pos    = rank within (phase, shard) by (_k, doc_id).
+
+    Output: (doc_id, phase, shard, pos). Writers emit one file per
+    (phase, shard) in pos order; n_shards bounds the within-group sort
+    exactly as in epoch_shuffle (pick it so a shard's (id, 32-hex)
+    shorts fit a partition).
+
+    DuckDB oracle: `q: sp_curriculum` (exact head_split form).
+    """
+    if n_phases < 1 or n_shards < 1:
+        raise ValueError(
+            f"n_phases/n_shards must be >= 1, got {n_phases}/{n_shards}"
+        )
+    from .lm import head_split, head_split_approx
+
+    split = (head_split_approx if approx else head_split)(
+        docs, n_splits=n_phases, text_col=text_col
+    )
+    keyed = split.select(
+        "doc_id",
+        F.col("split").alias("phase"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(f":curriculum{epoch}"),
+            )
+        ).alias("_k"),
+    ).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("_k", 1, 12), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).cast("long"),
+    )
+    w = Window.partitionBy("phase", "shard").orderBy("_k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        F.col("phase").cast("long").alias("phase"),
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
     )

@@ -358,3 +358,64 @@ class TestTemperatureShares:
 
         with _pytest.raises(ValueError, match="temperature_x2"):
             temperature_shares(self._df(spark, [(0, "a", 1)]), 3)
+
+
+def test_curriculum_order_invariants(spark):
+    """Phases are balanced ntile bands, pos is a 1..n rank within each
+    (phase, shard), and the whole ordering is partition-independent and
+    epoch-keyed (different epoch => different permutation, same phase)."""
+    from collections import Counter
+
+    from ocr_pipeline_spark.operators.splits import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = curriculum_order(docs).collect()
+    assert len(rows) == 500
+    phases = Counter(r["phase"] for r in rows)
+    assert set(phases) == {1, 2, 3}
+    assert max(phases.values()) - min(phases.values()) <= 1
+    grp = {}
+    for r in rows:
+        grp.setdefault((r["phase"], r["shard"]), []).append(r["pos"])
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in grp.values()
+    )
+    again = sorted(map(tuple, curriculum_order(docs.repartition(7)).collect()))
+    assert again == sorted(map(tuple, rows))
+    other = {
+        r["doc_id"]: (r["phase"], r["shard"], r["pos"])
+        for r in curriculum_order(docs, epoch=1).collect()
+    }
+    base = {r["doc_id"]: (r["phase"], r["shard"], r["pos"]) for r in rows}
+    assert all(other[d][0] == base[d][0] for d in base)   # same phases
+    assert any(other[d][1:] != base[d][1:] for d in base)  # new permutation
+
+
+def test_curriculum_easy_phase_has_lower_surprisal(spark):
+    """Phase 1 must be the low-surprisal (fluent) band — the point of a
+    curriculum."""
+    from ocr_pipeline_spark.operators.lm import lm_surprisal
+    from ocr_pipeline_spark.operators.splits import curriculum_order
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = {
+        r["doc_id"]: r["surprisal_bp"] for r in lm_surprisal(docs).collect()
+    }
+    ph = {
+        r["doc_id"]: r["phase"] for r in curriculum_order(docs).collect()
+    }
+    p1 = [sc[d] for d, p in ph.items() if p == 1]
+    p3 = [sc[d] for d, p in ph.items() if p == 3]
+    assert max(p1) <= min(p3)
+
+
+def test_curriculum_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.splits import curriculum_order
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        curriculum_order(df, n_phases=0)
+    with _pytest.raises(ValueError):
+        curriculum_order(df, n_shards=0)
