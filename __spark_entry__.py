@@ -111,7 +111,7 @@ from ocr_pipeline_spark.operators.bloom import (
     bloom_gate,
     bloom_probe,
 )
-from ocr_pipeline_spark.operators.graph import pagerank
+from ocr_pipeline_spark.operators.graph import pagerank, connected_components
 from ocr_pipeline_spark.operators.index import bm25_search, term_postings
 from ocr_pipeline_spark.operators.links import link_rows, page_edges
 from ocr_pipeline_spark.operators.sketch import (
@@ -304,6 +304,7 @@ _VALIDATION_PRIORITY = [
     "t_retention",
     "ix_bm25",
     "sp_curriculum",
+    "g_components",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -497,6 +498,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph.pagerank): the full extraction-to-ranking composition
         "g_pagerank_web": lambda s, d: pagerank(
             page_edges(_synth_pages_df(s)), n_iters=3
+        ).orderBy("node"),
+        # connected components of the same extracted page graph —
+        # mirror/site-island analysis (operators/graph.py:
+        # connected_components; hash-min + pointer jumping)
+        "g_components": lambda s, d: connected_components(
+            page_edges(_synth_pages_df(s))
         ).orderBy("node"),
         # bigram collocation mining (operators/collocations.py): top-50
         # adjacent pairs by fixed-point observed/expected lift — the
@@ -1316,6 +1323,30 @@ def _x_links_oracle() -> str:
         SELECT src, link_idx::INTEGER AS link_idx, href, resolved
         FROM (VALUES {rows}) t(src, link_idx, href, resolved)
         ORDER BY src, link_idx
+    """
+
+
+def _g_components_oracle() -> str:
+    """Recursive-CTE connected components over the SAME inlined
+    kernel-derived edge list as the web pagerank oracle."""
+    from ocr_pipeline_spark.operators.textstats import token_hash48
+
+    edges = ", ".join(
+        f"({token_hash48(u)}, {token_hash48(r)})"
+        for u, _, _, r in _links_expected()
+        if r is not None
+    )
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT src, dst FROM (VALUES {edges}) t(src, dst)),
+        edges AS (
+          SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        reach(a, b) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+        SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+        ORDER BY node
     """
 
 
@@ -4536,6 +4567,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_rp_reduce": _rp_oracle(),
         "x_links": _x_links_oracle(),
         "g_pagerank_web": _g_pagerank_web_oracle(),
+        "g_components": _g_components_oracle(),
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),
         "mm_frames": _mm_frames_oracle(),

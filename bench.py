@@ -137,6 +137,8 @@ EXTENDED = [
     "ix_bm25",
     # curriculum order (surprisal phases x epoch-keyed permutation)
     "sp_curriculum",
+    # connected components of the page graph (hash-min + pointer jump)
+    "g_components",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

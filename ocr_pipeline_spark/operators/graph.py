@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_until", "out_degrees"]
+__all__ = ["pagerank", "pagerank_until", "out_degrees", "connected_components"]
 
 SCALE_BP = 10_000
 
@@ -184,4 +184,33 @@ def pagerank_until(
     raise RuntimeError(
         f"pagerank_until did not reach max |delta| <= {eps_bp} bp in "
         f"{max_iters} rounds (last delta {delta}); raise max_iters or eps_bp"
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, on_nonconverged: str = "warn"
+) -> DataFrame:
+    """Connected components of an undirected graph given as (src, dst)
+    edge rows — the general form of the dedup layer's cluster
+    assignment (operators/dedup.py:dup_clusters is the underlying
+    hash-min label propagation with pointer jumping: O(log diameter)
+    rounds, per-round localCheckpoint lineage truncation, loud
+    max_iter). Every node converges to its component's minimum node id.
+
+    Output: (node, component) for every node incident to an edge.
+    Classic uses over the page graph: mirror-site detection (a
+    canonical-url component = one logical site), crawl-frontier
+    island analysis, and the site-level collapse that runs before
+    per-domain mixing caps.
+    """
+    from .dedup import dup_clusters
+
+    pairs = edges.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    return dup_clusters(
+        pairs, max_iter=max_iter, on_nonconverged=on_nonconverged
+    ).select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component"),
     )

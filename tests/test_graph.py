@@ -127,3 +127,29 @@ def test_until_guards(spark, edges):
         pagerank_until(edges, max_iters=0)
     with pytest.raises(RuntimeError, match="max_iters|did not reach"):
         pagerank_until(edges, eps_bp=0, max_iters=1)
+
+
+def test_connected_components_basic(spark):
+    from ocr_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_chain_converges(spark):
+    """A long path graph exercises pointer jumping (O(log diameter))."""
+    from ocr_pipeline_spark.operators.graph import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == n + 1
+    assert all(r["component"] == 0 for r in got)
