@@ -38,6 +38,7 @@ from ocr_pipeline_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_perm_constants,
     minhash_signatures,
+    shingles,
     simhash_candidate_pairs,
     simhash_signatures,
     simhash_table_combos,
@@ -119,6 +120,7 @@ from ocr_pipeline_spark.operators.sketch import (
     cms_state,
     hist_quantiles,
     kmv_distinct,
+    kmv_set_estimates,
 )
 from ocr_pipeline_spark.operators.splits import (
     domain_cap,
@@ -305,6 +307,7 @@ _VALIDATION_PRIORITY = [
     "ix_bm25",
     "sp_curriculum",
     "g_components",
+    "sk_set_overlap",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -413,6 +416,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic KMV distinct-count sketch (engine-portable
         # alternative to HLL++ — see operators/sketch.py); k=16 so the
         # estimation path fires on this corpus (vocab > k per lang)
+        # KMV set algebra: union/intersection/Jaccard estimates of two
+        # languages' distinct 2-gram sets from their k-row sketches
+        # (operators/sketch.py:kmv_set_estimates, theta sampling)
+        "sk_set_overlap": lambda s, d: kmv_set_estimates(
+            _t(s, d, "documents")
+            .select(
+                "lang",
+                F.explode_outer(shingles(F.col("text"), 2)).alias("sh"),
+            )
+            .filter(F.col("sh").isNotNull()),
+            "lang",
+            "sh",
+            "en",
+            "de",
+            k=64,
+        ),
         "sk_distinct_tokens": lambda s, d: kmv_distinct(
             _t(s, d, "documents")
             .select(
@@ -3550,6 +3569,72 @@ def oracle_sql() -> dict[str, str]:
                   FROM packed)
             SELECT term, shard, df_shard, tf_shard, df, postings
             FROM g WHERE df >= 10 ORDER BY term, shard
+        """,
+        # sk_set_overlap: per-lang 2-gram KMV states (row_number <= k),
+        # union selection, theta = its max, intersection below theta;
+        # small-union CASE degenerates to exact counts like
+        # sk_distinct_tokens
+        "sk_set_overlap": f"""
+            WITH t AS (SELECT lang, {_TOKS} AS toks, {_NORM} AS nrm
+                       FROM documents
+                       WHERE lang IN ('en', 'de')),
+            sh AS (SELECT lang,
+                          unnest(case when len(toks) < 2 then [nrm]
+                                 else list_distinct(list_transform(
+                                   range(0, len(toks) - 1),
+                                   i -> array_to_string(
+                                     toks[i+1:i+2], ' '))) end) AS s
+                   FROM t),
+            h AS (SELECT DISTINCT lang AS grp,
+                         ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+                  FROM sh),
+            rk AS (SELECT grp, h,
+                          row_number() OVER (PARTITION BY grp ORDER BY h)
+                            AS rn
+                   FROM h),
+            st AS (SELECT grp, h FROM rk WHERE rn <= 64),
+            est AS (SELECT grp, count(*) AS n, max(h) AS kth FROM st
+                    GROUP BY grp),
+            us AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                   FROM (SELECT DISTINCT h FROM st)),
+            u AS (SELECT cast(count(*) as bigint) AS n_union,
+                         cast(max(h) as bigint) AS theta
+                  FROM us WHERE rn <= 64),
+            i AS (SELECT cast(count(*) as bigint) AS n_inter
+                  FROM (SELECT h FROM st WHERE grp = 'en') a
+                  JOIN (SELECT h FROM st WHERE grp = 'de') b USING (h)
+                  CROSS JOIN u WHERE a.h <= u.theta),
+            e2 AS (SELECT
+                     max(CASE WHEN grp = 'en' THEN n END) AS n_a,
+                     max(CASE WHEN grp = 'de' THEN n END) AS n_b,
+                     max(CASE WHEN grp = 'en' THEN
+                       CASE WHEN n < 64 THEN n
+                            ELSE (63::BIGINT * 281474976710656)
+                                 // greatest(kth, 1::BIGINT) END END)
+                       AS est_a,
+                     max(CASE WHEN grp = 'de' THEN
+                       CASE WHEN n < 64 THEN n
+                            ELSE (63::BIGINT * 281474976710656)
+                                 // greatest(kth, 1::BIGINT) END END)
+                       AS est_b
+                   FROM est)
+            SELECT cast(n_a as bigint) AS n_a,
+                   cast(n_b as bigint) AS n_b,
+                   cast(est_a as bigint) AS est_a,
+                   cast(est_b as bigint) AS est_b,
+                   n_union,
+                   cast(CASE WHEN n_union < 64 THEN n_union
+                        ELSE (63::BIGINT * 281474976710656)
+                             // greatest(theta, 1::BIGINT) END as bigint)
+                     AS est_union,
+                   n_inter,
+                   cast(CASE WHEN n_union < 64 THEN n_inter
+                        ELSE (n_inter * 281474976710656::BIGINT)
+                             // greatest(theta, 1::BIGINT) END as bigint)
+                     AS est_intersection,
+                   cast((10000 * n_inter) // greatest(n_union, 1::BIGINT)
+                        as bigint) AS jaccard_bp
+            FROM u CROSS JOIN i CROSS JOIN e2
         """,
         "sk_distinct_tokens": f"""
             WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),

@@ -139,6 +139,8 @@ EXTENDED = [
     "sp_curriculum",
     # connected components of the page graph (hash-min + pointer jump)
     "g_components",
+    # KMV set algebra: union/intersection/Jaccard from k-row sketches
+    "sk_set_overlap",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

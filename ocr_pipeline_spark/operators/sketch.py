@@ -46,6 +46,7 @@ __all__ = [
     "kmv_state",
     "kmv_from_state",
     "HASH_RANGE",
+    "kmv_set_estimates",
 ]
 
 
@@ -318,4 +319,103 @@ def hist_quantiles(
             *aggs,
         )
         .withColumnRenamed("grp", group_col)
+    )
+
+
+def kmv_set_estimates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    grp_a,
+    grp_b,
+    k: int = 128,
+) -> DataFrame:
+    """KMV set algebra (the theta-sketch estimates of Dasgupta et al.
+    2016, "A Framework for Estimating Stream Expression Cardinalities"
+    — union / intersection / Jaccard of two distinct-value sets from
+    their k-minimum-values states, never from the raw sets): the
+    source-overlap question ("how much vocabulary do these two feeds
+    share?") answered from two mergeable k-row sketches.
+
+        theta     = k-th smallest hash of the UNION selection
+        est_union = (k-1) * 2^48 div theta          (the KMV estimator)
+        est_inter = n_inter * 2^48 div theta        (theta sampling)
+        jacc_bp   = (10000 * n_inter) div n_union
+
+    with n_inter = |hashes in BOTH states and <= theta|; when the union
+    holds fewer than k distinct hashes every estimate degenerates to
+    the EXACT count (same CASE as kmv_from_state). Integer bigint math
+    end to end — bit-identical across engines.
+
+    Output: ONE row (n_a, n_b, est_a, est_b, n_union, est_union,
+    n_inter, est_intersection, jaccard_bp), all bigint.
+
+    Scale shape: the only corpus-sized work is kmv_state (scan-local
+    hashing, skew-free dedup, bounded per-partition top-k); everything
+    after runs on <= 2k sketch rows — the union selection compiles to
+    TakeOrderedAndProject and the scalar assembly is 1-row broadcast
+    crossJoins.
+
+    DuckDB oracle: `q: sk_set_overlap`.
+    """
+    two = df.filter(F.col(group_col).isin([grp_a, grp_b]))
+    st = kmv_state(two, group_col, value_col, k=k)
+    sa = st.filter(F.col("grp") == grp_a).select("h")
+    sb = st.filter(F.col("grp") == grp_b).select("h")
+    union_sel = (
+        sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    )
+    u_stats = union_sel.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.max("h").alias("theta"),
+    )
+    a_stats = sa.agg(F.count(F.lit(1)).alias("n_a"))
+    b_stats = sb.agg(F.count(F.lit(1)).alias("n_b"))
+    ests = kmv_from_state(st, k=k).select(
+        "grp", F.col("est_distinct")
+    )
+    ea = ests.filter(F.col("grp") == grp_a).select(
+        F.col("est_distinct").alias("est_a")
+    )
+    eb = ests.filter(F.col("grp") == grp_b).select(
+        F.col("est_distinct").alias("est_b")
+    )
+    inter = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(u_stats.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pow48 = 1 << 48
+    return (
+        u_stats.crossJoin(F.broadcast(a_stats))
+        .crossJoin(F.broadcast(b_stats))
+        .crossJoin(F.broadcast(ea))
+        .crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("est_a").cast("long").alias("est_a"),
+            F.col("est_b").cast("long").alias("est_b"),
+            F.col("n_union").cast("long").alias("n_union"),
+            F.expr(
+                f"CASE WHEN n_union < {k} THEN n_union "
+                f"ELSE (({k} - 1) * cast({pow48} as bigint))"
+                " div greatest(theta, 1) END"
+            )
+            .cast("long")
+            .alias("est_union"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.expr(
+                f"CASE WHEN n_union < {k} THEN n_inter "
+                f"ELSE (n_inter * cast({pow48} as bigint))"
+                " div greatest(theta, 1) END"
+            )
+            .cast("long")
+            .alias("est_intersection"),
+            F.expr("(10000 * n_inter) div greatest(n_union, 1)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
     )

@@ -175,3 +175,48 @@ def test_hist_quantiles_partition_invariance_and_nulls(spark):
     assert a == b
     # NULLs excluded from n
     assert a[0]["n"] == df.filter(F.col("v").isNotNull()).count()
+
+
+def test_kmv_set_estimates_exact_small_and_jaccard(spark):
+    """Small sets (union < k): every estimate degenerates to the exact
+    count and jaccard_bp is exact; disjoint and identical sets hit the
+    0 / 10000 poles."""
+    from ocr_pipeline_spark.operators.sketch import kmv_set_estimates
+
+    rows = [("a", f"v{i}") for i in range(10)]
+    rows += [("b", f"v{i}") for i in range(5, 15)]     # overlap = 5
+    df = spark.createDataFrame(rows, "grp string, val string")
+    r = kmv_set_estimates(df, "grp", "val", "a", "b", k=64).first()
+    assert (r["n_a"], r["n_b"]) == (10, 10)
+    assert (r["est_a"], r["est_b"]) == (10, 10)
+    assert r["n_union"] == 15 and r["est_union"] == 15
+    assert r["n_inter"] == 5 and r["est_intersection"] == 5
+    assert r["jaccard_bp"] == (10000 * 5) // 15
+
+    dj = spark.createDataFrame(
+        [("a", "x1"), ("a", "x2"), ("b", "y1")], "grp string, val string"
+    )
+    r2 = kmv_set_estimates(dj, "grp", "val", "a", "b", k=64).first()
+    assert r2["n_inter"] == 0 and r2["jaccard_bp"] == 0
+
+    ident = spark.createDataFrame(
+        [(g, f"v{i}") for g in ("a", "b") for i in range(8)],
+        "grp string, val string",
+    )
+    r3 = kmv_set_estimates(ident, "grp", "val", "a", "b", k=64).first()
+    assert r3["jaccard_bp"] == 10000
+    assert r3["est_intersection"] == 8
+
+
+def test_kmv_set_estimates_sketched_accuracy(spark):
+    """Full sketches (union >> k): estimates land within the standard
+    KMV relative-error envelope (~1/sqrt(k))."""
+    from ocr_pipeline_spark.operators.sketch import kmv_set_estimates
+
+    rows = [("a", f"v{i}") for i in range(2000)]
+    rows += [("b", f"v{i}") for i in range(1000, 3000)]   # union 3000, inter 1000
+    df = spark.createDataFrame(rows, "grp string, val string")
+    r = kmv_set_estimates(df, "grp", "val", "a", "b", k=256).first()
+    assert abs(r["est_union"] - 3000) < 3000 * 0.25
+    assert abs(r["est_intersection"] - 1000) < 1000 * 0.5
+    assert abs(r["jaccard_bp"] - 3333) < 1500
