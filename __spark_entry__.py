@@ -308,6 +308,8 @@ _VALIDATION_PRIORITY = [
     "sp_curriculum",
     "g_components",
     "sk_set_overlap",
+    "q4_order_priority",
+    "q14_promo_revenue",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -392,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "q14_promo_revenue": _q14_promo_revenue,
         "q10_returned_items": _q10_returned_items,
         "q18_large_orders": _q18_large_orders,
         "semi_error_users": _semi_error_users,
@@ -1798,6 +1802,59 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority order counts over a date window,
+    gated by an EXISTS (left-semi) on qualifying lineitems — the
+    returned-flag stands in for the commit/receipt lateness predicate
+    (those columns are not in the synth schema; the SHAPE — semi-join
+    into a grouped count — is what Q4 exercises)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share over one year —
+    conditional aggregation after a part join; the ratio divides two
+    identically-derived doubles (decimal-sum → round(2) → double), so
+    both engines produce the same quotient."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )),
+            2,
+        ).cast("double").alias("promo"),
+        F.round(F.sum(rev), 2).cast("double").alias("total"),
+    )
+    return agg.select(
+        "promo",
+        "total",
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 4).alias(
+            "promo_pct"
+        ),
+    )
+
+
 def _semi_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 valid-split as a semi-join."""
     ev = _t(spark, sf_dir, "events")
@@ -2951,6 +3008,36 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  timestamp '1995-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority,
+                   cast(count(*) as bigint) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT p_type,
+                     cast(l_extendedprice as decimal(18,2))
+                     * (cast(1 as decimal(18,2))
+                        - cast(l_discount as decimal(18,2))) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'),
+            a AS (
+              SELECT cast(round(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                    ELSE cast(0 as decimal(18,2)) END), 2)
+                          as double) AS promo,
+                     cast(round(sum(rev), 2) as double) AS total
+              FROM j)
+            SELECT promo, total,
+                   round(100.0 * promo / total, 4) AS promo_pct
+            FROM a
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,

@@ -141,6 +141,9 @@ EXTENDED = [
     "g_components",
     # KMV set algebra: union/intersection/Jaccard from k-row sketches
     "sk_set_overlap",
+    # TPC-H Q4/Q14 shapes (exists semi-join count; promo revenue share)
+    "q4_order_priority",
+    "q14_promo_revenue",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
