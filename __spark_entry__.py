@@ -190,6 +190,7 @@ from ocr_pipeline_spark.operators.textstats import (
     MOJIBAKE_MARKERS,
     MOJIBAKE_SAMPLES,
     mojibake_stats,
+    lang_confusion,
 )
 from ocr_pipeline_spark.streaming import (
     start_curate_stream,
@@ -310,6 +311,7 @@ _VALIDATION_PRIORITY = [
     "sk_set_overlap",
     "q4_order_priority",
     "q14_promo_revenue",
+    "ts_lang_confusion",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -626,6 +628,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # double-encoded fixtures (synth corpus is pure ASCII —
         # vacuous otherwise); literal-substring replace() arithmetic,
         # no regex (operators/textstats.py:mojibake_stats)
+        # language-ID evaluation vs corpus labels: per-class
+        # precision/recall/F1 in basis points — the gate-quality report
+        # (operators/textstats.py:lang_confusion); also value-checks the
+        # flagship entry() confusion rollup's logic
+        "ts_lang_confusion": lambda s, d: lang_confusion(
+            _t(s, d, "documents")
+        ).orderBy("lang"),
         "ts_mojibake": lambda s, d: mojibake_stats(
             _t(s, d, "documents")
             .select("doc_id", "text")
@@ -3456,6 +3465,64 @@ def oracle_sql() -> dict[str, str]:
                    case when 20 * en_stop_hits >= n_tokens then 'en' else 'unknown' end AS lang_guess
             FROM t
         """,
+        # ts_lang_confusion: the langid_multi CTE -> confusion counts
+        # -> integer per-class metrics
+        "ts_lang_confusion": (lambda sl: f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                     {", ".join(
+                         f"len(list_filter({_TOKS}, x -> list_contains("
+                         f"{sl(lg)}, x))) AS {lg}_hits"
+                         for lg in ("en", "de", "es", "fr"))}
+              FROM documents),
+            g AS (SELECT doc_id, n_tokens,
+                         greatest(en_hits, de_hits, es_hits, fr_hits)
+                           AS best,
+                         en_hits, de_hits, es_hits, fr_hits
+                  FROM t),
+            gg AS (SELECT doc_id,
+                          case when 20 * best < n_tokens then 'unknown'
+                               when en_hits = best then 'en'
+                               when de_hits = best then 'de'
+                               when es_hits = best then 'es'
+                               when fr_hits = best then 'fr'
+                               else 'unknown' end AS lang_guess
+                   FROM g),
+            conf AS (SELECT d.lang, gg.lang_guess,
+                            cast(count(*) as bigint) AS n
+                     FROM documents d JOIN gg USING (doc_id)
+                     GROUP BY 1, 2),
+            tp AS (SELECT lang, n AS tp FROM conf
+                   WHERE lang = lang_guess),
+            rt AS (SELECT lang, cast(sum(n) as bigint) AS n_true
+                   FROM conf GROUP BY 1),
+            ct AS (SELECT lang_guess AS lang,
+                          cast(sum(n) as bigint) AS n_pred
+                   FROM conf GROUP BY 1),
+            o AS (SELECT rt.lang,
+                         cast(coalesce(tp.tp, 0) as bigint) AS tp,
+                         cast(coalesce(ct.n_pred, 0)
+                              - coalesce(tp.tp, 0) as bigint) AS fp,
+                         cast(rt.n_true - coalesce(tp.tp, 0) as bigint)
+                           AS fn
+                  FROM rt LEFT JOIN tp USING (lang)
+                          LEFT JOIN ct USING (lang)),
+            p AS (SELECT lang, tp, fp, fn,
+                         cast((10000 * tp) // greatest(tp + fp, 1)
+                              as bigint) AS precision_bp,
+                         cast((10000 * tp) // greatest(tp + fn, 1)
+                              as bigint) AS recall_bp
+                  FROM o)
+            SELECT lang, tp, fp, fn, precision_bp, recall_bp,
+                   cast((2 * precision_bp * recall_bp)
+                        // greatest(precision_bp + recall_bp, 1)
+                        as bigint) AS f1_bp
+            FROM p ORDER BY lang
+        """)(
+            lambda lg: "["
+            + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
+            + "]"
+        ),
         "ts_langid_multi": (lambda sl: f"""
             WITH t AS (
               SELECT doc_id, len({_TOKS}) AS n_tokens,

@@ -144,6 +144,8 @@ EXTENDED = [
     # TPC-H Q4/Q14 shapes (exists semi-join count; promo revenue share)
     "q4_order_priority",
     "q14_promo_revenue",
+    # language-gate evaluation (per-class precision/recall/F1 in bp)
+    "ts_lang_confusion",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

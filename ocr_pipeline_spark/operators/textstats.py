@@ -42,6 +42,7 @@ __all__ = [
     "MOJIBAKE_MARKERS",
     "MOJIBAKE_SAMPLES",
     "mojibake_stats",
+    "lang_confusion",
 ]
 
 # Tiny deterministic English stopword list (top function words) — used by
@@ -752,4 +753,82 @@ def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_hits.cast("long").alias("n_hits"),
         (n_hits > 0).alias("mojibake"),
+    )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Language-ID evaluation against the corpus labels: the confusion
+    rollup reduced to per-class precision / recall / F1 in basis points
+    — the quality report a curation team reads before trusting a
+    language gate (mis-ID'ed docs leak across per-language pipelines).
+    Guesses come from :func:`lang_id_multi` on the same rows.
+
+    For each TRUE class L: tp = n(L, L); fp = predicted-L mass from
+    other classes; fn = L's mass guessed elsewhere;
+    precision_bp = (10000*tp) div max(tp+fp, 1) (0 when nothing was
+    predicted L), recall_bp likewise over tp+fn, f1_bp the harmonic
+    mean computed IN basis points: (2*p*r) div max(p+r, 1) — integer
+    end to end.
+
+    Output: (lang, tp, fp, fn, precision_bp, recall_bp, f1_bp), one row
+    per distinct true label.
+
+    Scale shape: one scan-local lang-ID projection; the confusion
+    matrix is a groupBy over (label, guess) shorts — at most
+    |labels| x |guesses| rows leave the aggregation; everything after
+    runs on that tiny frame.
+
+    DuckDB oracle: `q: ts_lang_confusion`.
+    """
+    guesses = lang_id_multi(docs, text_col=text_col).select(
+        "doc_id", "lang_guess"
+    )
+    conf = (
+        docs.select("doc_id", F.col(label_col).alias("lang"))
+        .join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tp = conf.filter(F.col("lang") == F.col("lang_guess")).select(
+        "lang", F.col("n").alias("tp")
+    )
+    row_tot = conf.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    col_tot = conf.groupBy("lang_guess").agg(F.sum("n").alias("n_pred"))
+    out = (
+        row_tot.join(tp, "lang", "left")
+        .join(
+            col_tot.withColumnRenamed("lang_guess", "lang"), "lang", "left"
+        )
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.col("n_true") - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return out.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(10000 * tp) div greatest(tp + fp, 1)")
+        .cast("long")
+        .alias("precision_bp"),
+        F.expr("(10000 * tp) div greatest(tp + fn, 1)")
+        .cast("long")
+        .alias("recall_bp"),
+    ).withColumn(
+        "f1_bp",
+        F.expr(
+            "(2 * precision_bp * recall_bp)"
+            " div greatest(precision_bp + recall_bp, 1)"
+        ).cast("long"),
     )

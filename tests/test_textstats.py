@@ -346,3 +346,52 @@ def test_source_drift_randomized_matches_fractions(spark):
             assert got[g] == (10000 * tvd.numerator) // tvd.denominator, (
                 trial, g,
             )
+
+
+def test_lang_confusion_metrics_exact(spark):
+    """Hand confusion: labels {x, y}, guesses mix — metrics must equal
+    the textbook precision/recall/F1 computed by hand."""
+    from unittest.mock import patch
+
+    from ocr_pipeline_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "x"), (4, "d", "y")],
+        "doc_id long, text string, lang string",
+    )
+    guesses = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x")],
+        "doc_id long, lang_guess string",
+    )
+    with patch.object(
+        ts, "lang_id_multi", lambda df, text_col="text": guesses
+    ):
+        got = {
+            r["lang"]: (
+                r["tp"], r["fp"], r["fn"],
+                r["precision_bp"], r["recall_bp"], r["f1_bp"],
+            )
+            for r in ts.lang_confusion(docs).collect()
+        }
+    # x: tp=2, fp=1 (doc 4), fn=1 (doc 3): p=6666, r=6666, f1=6666
+    assert got["x"] == (2, 1, 1, 6666, 6666, 6666)
+    # y: tp=0, fp=1 (doc 3), fn=1 (doc 4): all-zero metrics, no div0
+    assert got["y"] == (0, 1, 1, 0, 0, 0)
+
+
+def test_lang_confusion_on_corpus_is_consistent(spark):
+    """On the synth corpus the per-class masses must re-add to the
+    label counts, and metrics stay within [0, 10000]."""
+    from collections import Counter
+
+    from ocr_pipeline_spark.operators.textstats import lang_confusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = lang_confusion(docs).collect()
+    label_counts = Counter(
+        r["lang"] for r in docs.select("lang").collect()
+    )
+    for r in rows:
+        assert r["tp"] + r["fn"] == label_counts[r["lang"]]
+        for c in ("precision_bp", "recall_bp", "f1_bp"):
+            assert 0 <= r[c] <= 10000
