@@ -81,6 +81,7 @@ from ocr_pipeline_spark.operators.multimodal import (
     format_feature,
     media_features_packed,
     synth_media,
+    media_dedup,
 )
 from ocr_pipeline_spark.operators.similarity import (
     ann_topk,
@@ -312,6 +313,7 @@ _VALIDATION_PRIORITY = [
     "q4_order_priority",
     "q14_promo_revenue",
     "ts_lang_confusion",
+    "mm_dedup",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -839,6 +841,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    UDFs call: a genuine value check, parity by construction).
         #    NULL-able columns are coalesced to sentinels on both sides
         #    (never NULL-mixed hash columns) --------------------------------
+        # byte-identical media dedup over the synth table + a planted
+        # duplicate slice (ids +1_000_000 carry byte-identical payloads
+        # of ids < 20), so n_copies=2 groups provably exist
+        # (operators/multimodal.py:media_dedup)
+        "mm_dedup": lambda s, d: media_dedup(
+            _media_df(s).unionByName(
+                _media_df(s)
+                .filter(F.col("media_id") < 20)
+                .withColumn(
+                    "media_id", F.col("media_id") + F.lit(1_000_000)
+                )
+            )
+        ).orderBy("fingerprint"),
         "mm_decode_meta": lambda s, d: decode_media_meta(_media_df(s))
         .select(
             "media_id",
@@ -2754,6 +2769,32 @@ def _x_overlay_oracle(n: int = 30, seed: int = 42) -> str:
         + ", ".join(rows)
         + ") t(url, overlay, error)"
     )
+
+
+def _mm_dedup_oracle(n: int = 200) -> str:
+    """Expected (fingerprint, n_copies, canonical) for synth media plus
+    the planted duplicate slice, replayed with Python hashlib.md5 over
+    the same deterministic payload bytes and inlined as VALUES."""
+    import hashlib as _hl
+
+    pdf = _synth_media_cached(n)
+    groups: dict[str, list[int]] = {}
+    for mid, payload in zip(pdf.media_id, pdf.payload):
+        fp = _hl.md5(bytes(payload)).hexdigest()
+        groups.setdefault(fp, []).append(int(mid))
+        if int(mid) < 20:
+            groups[fp].append(int(mid) + 1_000_000)
+    rows = ", ".join(
+        f"('{fp}', {len(ids)}, {min(ids)})"
+        for fp, ids in sorted(groups.items())
+    )
+    return f"""
+        SELECT fingerprint, cast(n_copies as bigint) AS n_copies,
+               cast(canonical_media_id as bigint) AS canonical_media_id
+        FROM (VALUES {rows})
+          t(fingerprint, n_copies, canonical_media_id)
+        ORDER BY fingerprint
+    """
 
 
 def _mm_decode_meta_oracle(n: int = 200) -> str:
@@ -4807,6 +4848,7 @@ def oracle_sql() -> dict[str, str]:
         "x_links": _x_links_oracle(),
         "g_pagerank_web": _g_pagerank_web_oracle(),
         "g_components": _g_components_oracle(),
+        "mm_dedup": _mm_dedup_oracle(),
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),
         "mm_frames": _mm_frames_oracle(),

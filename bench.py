@@ -146,6 +146,8 @@ EXTENDED = [
     "q14_promo_revenue",
     # language-gate evaluation (per-class precision/recall/F1 in bp)
     "ts_lang_confusion",
+    # byte-identical media dedup (one groupBy on the payload md5)
+    "mm_dedup",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

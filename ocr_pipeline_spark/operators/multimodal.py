@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -42,6 +43,7 @@ __all__ = [
     "media_features_packed",
     "feature_of",
     "format_feature",
+    "media_dedup",
 ]
 
 MEDIA_SCHEMA = "media_id long, url string, kind string, payload binary"
@@ -265,3 +267,43 @@ def media_features_packed(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame
             )
 
     return media.mapInPandas(fn, schema="media_id long, feature_str string")
+
+
+def media_dedup(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Byte-identical media dedup — the FIRST dedup stage of any
+    multimodal crawl (the same logo, tracking pixel, player stub or
+    stock photo is recrawled millions of times byte-for-byte; LAION-
+    style pipelines drop exact URL+byte dupes before any decode): one
+    canonical asset per distinct payload md5.
+
+    Output: (fingerprint 32-hex md5 of the raw bytes, n_copies,
+    canonical_media_id = min id). Compose
+    ``media.join(out.select('canonical_media_id'), media_id ==
+    canonical_media_id, 'left_semi')`` to keep one copy per asset;
+    near-dup (re-encoded/resized) detection is the embedding layer's
+    job, downstream of the decode kernels.
+
+    Scale shape: the md5 is scan-local over the binary column; ONE
+    groupBy on the 32-hex key with map-side partial count/min —
+    payload BYTES never cross the exchange (the payload rule applied
+    to media).
+
+    DuckDB oracle: `q: mm_dedup` (kernel-replayed expectations inlined
+    as VALUES — binary payloads are not expressible over the
+    pre-registered views, the mm_decode_meta precedent).
+    """
+    return (
+        media.select(
+            F.md5(F.col(payload_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min(id_col).cast("long").alias("canonical_media_id"),
+        )
+    )

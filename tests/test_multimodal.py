@@ -84,3 +84,48 @@ def test_media_features_shape_and_norm(spark, media_df):
         ).alias("sq")
     )
     assert norm.filter(F.abs(F.col("sq") - 1.0) > 1e-9).count() == 0
+
+
+def test_media_dedup_collapses_identical_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_dedup,
+        synth_media,
+    )
+
+    base = spark.createDataFrame(synth_media(30), schema=MEDIA_SCHEMA)
+    dup = base.filter(F.col("media_id") < 5).withColumn(
+        "media_id", F.col("media_id") + F.lit(1000)
+    )
+    out = media_dedup(base.unionByName(dup))
+    rows = out.collect()
+    assert len(rows) == 30                     # payloads unique in synth
+    copies = {r["canonical_media_id"]: r["n_copies"] for r in rows}
+    for mid in range(5):
+        assert copies[mid] == 2                # planted dup collapsed
+    assert sum(1 for r in rows if r["n_copies"] == 1) == 25
+    # left-semi composition keeps exactly one copy per asset
+    kept = base.unionByName(dup).join(
+        out.select(F.col("canonical_media_id").alias("media_id")),
+        "media_id",
+        "left_semi",
+    )
+    assert kept.count() == 30
+
+
+def test_media_dedup_no_payload_shuffle(spark):
+    from ocr_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_dedup,
+        synth_media,
+    )
+
+    media = spark.createDataFrame(synth_media(50), schema=MEDIA_SCHEMA)
+    df = media_dedup(media)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange[^\n]*", plan):
+        assert "payload#" not in m.group(0)
