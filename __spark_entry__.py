@@ -156,6 +156,7 @@ from ocr_pipeline_spark.operators.temporal import (
     cohort_retention,
     event_funnel,
     interval_join_count,
+    session_values,
     sessionize,
 )
 from ocr_pipeline_spark.operators.decontam import (
@@ -314,6 +315,7 @@ _VALIDATION_PRIORITY = [
     "q14_promo_revenue",
     "ts_lang_confusion",
     "mm_dedup",
+    "t_session_value",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -1125,6 +1127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_retention": lambda s, d: cohort_retention(
             _t(s, d, "events")
         ).orderBy("cohort_week", "week_offset"),
+        # per-session value rollup (sessionize + the money recipe;
+        # operators/temporal.py:session_values)
+        "t_session_value": lambda s, d: session_values(
+            _t(s, d, "events")
+        ).orderBy("user_id", "session_start"),
         "t_asof_last_click": _t_asof_last_click,
         "t_interval_clicks": _t_interval_clicks,
         "t_sessions": _t_sessions,
@@ -4623,6 +4630,29 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = c.user_id AND c.ts > e.ts
              AND c.ts <= e.ts + INTERVAL '1 hour'
             GROUP BY e.event_id, e.user_id, e.ts
+        """,
+        # t_session_value: the t_sessions CTE plus the decimal money
+        # fold per session
+        "t_session_value": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   cast(count(*) as bigint) AS n_events,
+                   cast(round(sum(cast(value as decimal(18,2))), 2)
+                        as double) AS session_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "t_sessions": """
             WITH o AS (

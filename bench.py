@@ -148,6 +148,8 @@ EXTENDED = [
     "ts_lang_confusion",
     # byte-identical media dedup (one groupBy on the payload md5)
     "mm_dedup",
+    # per-session value rollup (session_window + decimal money fold)
+    "t_session_value",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

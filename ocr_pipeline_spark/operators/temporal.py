@@ -32,6 +32,7 @@ __all__ = [
     "sessionize",
     "event_funnel",
     "cohort_retention",
+    "session_values",
 ]
 
 
@@ -262,4 +263,42 @@ def cohort_retention(
             (F.col("w") - F.col("cw")).alias("week_offset"),
         )
         .agg(F.countDistinct("k").cast("long").alias("n_active"))
+    )
+
+
+def session_values(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session value rollup — sessionize + the money recipe in one
+    aggregation (the "session revenue" rollup of product analytics):
+    same gap-window semantics as :func:`sessionize`, plus the session's
+    value sum as decimal(18,2) → round(2) → double so both engines fold
+    money identically (the q-family recipe).
+
+    Output: (key, session_start, session_end, n_events, session_value).
+    """
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
     )

@@ -218,3 +218,26 @@ def test_event_funnel_randomized_matches_python_replay(spark):
             level += 1
         want[uid] = level
     assert got == want
+
+
+def test_session_values_money_fold(spark):
+    from datetime import datetime as dt
+
+    from ocr_pipeline_spark.operators.temporal import session_values
+
+    rows = [
+        (1, dt(2026, 1, 1, 10, 0), 1, "view", 1.10),
+        (2, dt(2026, 1, 1, 10, 10), 1, "purchase", 2.25),
+        (3, dt(2026, 1, 1, 12, 0), 1, "view", 0.40),   # new session
+        (4, dt(2026, 1, 1, 10, 5), 2, "view", 5.00),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["session_value"])
+        for r in session_values(df).collect()
+    )
+    assert got == [(1, 1, 0.40), (1, 2, 3.35), (2, 1, 5.00)]
