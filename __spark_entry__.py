@@ -316,6 +316,7 @@ _VALIDATION_PRIORITY = [
     "ts_lang_confusion",
     "mm_dedup",
     "t_session_value",
+    "qc_vs_lm",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -574,6 +575,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    distill the heuristic is_quality label into a hashed
         #    token-bucket model, score every doc — fixed-point exact
         #    arithmetic so train+score is value-checked end-to-end
+        # filter-agreement diagnostic: heuristic quality label vs LM
+        # surprisal band (the FineWeb-style classifier-vs-perplexity
+        # ablation matrix) — composes two oracled scorers; rate_bp =
+        # quality share per band
+        "qc_vs_lm": lambda s, d: (
+            lambda q, h: q.join(h, "doc_id")
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("is_quality"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_quality"),
+            )
+            .select(
+                "split",
+                "n_docs",
+                "n_quality",
+                F.expr("(10000 * n_quality) div n_docs")
+                .cast("long")
+                .alias("quality_rate_bp"),
+            )
+            .orderBy("split")
+        )(
+            quality_flags(_t(s, d, "documents")).select(
+                "doc_id", "is_quality"
+            ),
+            head_split(_t(s, d, "documents"), n_splits=3).select(
+                "doc_id", "split"
+            ),
+        ),
         "qc_bucket_weights": lambda s, d: bucket_weights(
             _t(s, d, "documents")
         ),
@@ -3404,6 +3435,52 @@ def oracle_sql() -> dict[str, str]:
                    cast(any_value(s.vocab) as bigint) AS vocab
             FROM ks CROSS JOIN s LEFT JOIN r ON r.rnk <= ks.k
             GROUP BY ks.k ORDER BY k
+        """,
+        # qc_vs_lm: the lm_head_split CTE joined to the quality
+        # predicates of ts_quality_flags, grouped per band
+        "qc_vs_lm": f"""
+            WITH ex AS (
+              SELECT doc_id, substr(md5(tok), 1, 16) AS thash
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents)),
+            c AS (SELECT thash, count(*) AS cnt FROM ex GROUP BY thash),
+            s AS (SELECT cast(sum(cnt) as bigint) AS n_total,
+                         cast(count(*) as bigint) AS vocab FROM c),
+            lm AS (SELECT thash,
+                          length(bin((n_total + vocab) // (cnt + 1)))
+                            AS bits
+                   FROM c CROSS JOIN s),
+            sc AS (SELECT doc_id,
+                          cast((10000 * sum(bits)) // count(*) as bigint)
+                            AS surprisal_bp
+                   FROM ex JOIN lm USING (thash) GROUP BY doc_id),
+            ph AS (SELECT doc_id,
+                          cast(ntile(3) OVER (ORDER BY surprisal_bp,
+                                              doc_id) as bigint)
+                            AS split
+                   FROM sc),
+            q AS (SELECT doc_id,
+                         ((n_tokens >= 5 AND n_tokens <= 100000)
+                          AND ((n_chars - (n_tokens - 1)) >= 2 * n_tokens
+                               AND (n_chars - (n_tokens - 1))
+                                   <= 12 * n_tokens)
+                          AND (50 * stop_hits >= n_tokens))
+                           AS is_quality
+                  FROM (SELECT doc_id, len({_TOKS}) AS n_tokens,
+                               length({_NORM}) AS n_chars,
+                               len(list_filter({_TOKS},
+                                 x -> list_contains({_STOP_SQL}, x)))
+                                 AS stop_hits
+                        FROM documents))
+            SELECT ph.split,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(CASE WHEN q.is_quality THEN 1 ELSE 0 END)
+                        as bigint) AS n_quality,
+                   cast((10000 * sum(CASE WHEN q.is_quality THEN 1
+                                     ELSE 0 END)) // count(*) as bigint)
+                     AS quality_rate_bp
+            FROM ph JOIN q USING (doc_id)
+            GROUP BY ph.split ORDER BY ph.split
         """,
         "lm_head_split": f"""
             WITH ex AS (

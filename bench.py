@@ -150,6 +150,8 @@ EXTENDED = [
     "mm_dedup",
     # per-session value rollup (session_window + decimal money fold)
     "t_session_value",
+    # classifier-vs-perplexity agreement matrix (two oracled scorers)
+    "qc_vs_lm",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
