@@ -31,6 +31,7 @@ from ocr_pipeline_spark.operators.dedup import (
     boilerplate_scrub,
     chunk_dedup,
     cross_source_chunks,
+    template_report,
     dup_clusters,
     dup_spans,
     exact_dedup,
@@ -317,6 +318,7 @@ _VALIDATION_PRIORITY = [
     "mm_dedup",
     "t_session_value",
     "qc_vs_lm",
+    "dd_templates",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -728,6 +730,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-source shared-chunk matrix: distinct k-token chunk
         # hashes appearing in BOTH sources of each pair — syndication/
         # boilerplate provenance (operators/dedup.py:cross_source_chunks)
+        # boilerplate template audit: top ubiquitous chunks with df,
+        # occurrence count and example text (the list a reviewer reads
+        # before picking max_df; operators/dedup.py:template_report)
+        "dd_templates": lambda s, d: template_report(
+            _t(s, d, "documents"), min_df=3, top_n=20
+        ),
         "dd_cross_source": lambda s, d: cross_source_chunks(
             _t(s, d, "documents")
         ).orderBy("source_a", "source_b"),
@@ -4192,6 +4200,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # cross-source shared-chunk matrix: same chunking, per-source
         # distinct chunk hashes, strict source_a < source_b self-join
+        # dd_templates: chunk CTEs + df election + example-doc text
+        "dd_templates": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            c AS (SELECT doc_id,
+                         list_transform(range(0, ((len(toks)-1)//10)+1),
+                           i -> array_to_string(toks[i*10+1 : i*10+10],
+                                                ' ')) AS chunks
+                  FROM t),
+            e AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
+            kk AS (SELECT doc_id, chunk,
+                          substr(md5(chunk), 1, 16) AS chash
+                   FROM e),
+            st AS (SELECT chash,
+                          cast(count(DISTINCT doc_id) as bigint) AS df,
+                          cast(count(*) as bigint) AS n_occurrences,
+                          cast(min(doc_id) as bigint)
+                            AS example_doc_id
+                   FROM kk GROUP BY 1
+                   HAVING count(DISTINCT doc_id) >= 3
+                   ORDER BY df DESC, chash LIMIT 20),
+            ex AS (SELECT kk.chash, min(kk.chunk) AS chunk_text
+                   FROM kk JOIN st
+                     ON kk.doc_id = st.example_doc_id
+                    AND kk.chash = st.chash
+                   GROUP BY 1)
+            SELECT st.chash, st.df, st.n_occurrences,
+                   st.example_doc_id, ex.chunk_text
+            FROM st JOIN ex USING (chash)
+            ORDER BY st.df DESC, st.chash
+        """,
         "dd_cross_source": f"""
             WITH t AS (SELECT doc_id, source, {_TOKS} AS toks
                        FROM documents),

@@ -152,6 +152,8 @@ EXTENDED = [
     "t_session_value",
     # classifier-vs-perplexity agreement matrix (two oracled scorers)
     "qc_vs_lm",
+    # boilerplate template audit (df election + winners-only text)
+    "dd_templates",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

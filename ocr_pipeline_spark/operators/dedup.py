@@ -33,6 +33,7 @@ from .textstats import fingerprint, norm_text, tokens
 __all__ = [
     "boilerplate_scrub",
     "cross_source_chunks",
+    "template_report",
     "chunk_dedup",
     "exact_dedup",
     "shingles",
@@ -989,3 +990,76 @@ def cross_source_chunks(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
     )
+
+
+def template_report(
+    docs: DataFrame,
+    k: int = 10,
+    min_df: int = 3,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate template AUDIT — the human-facing side of
+    :func:`boilerplate_scrub`'s election: the most ubiquitous k-token
+    chunks ranked by document frequency, each with one example
+    document and its text (what a curation reviewer reads before
+    choosing max_df; RefinedWeb/CCNet teams eyeball exactly this list
+    to confirm the threshold kills navigation chrome, not prose).
+
+    Output: top-``top_n`` rows (chash, df, n_occurrences,
+    example_doc_id, chunk_text) ordered by (df desc, chash).
+
+    Scale shape: the shared checkpointed chunk-hash stage plus ONE
+    df aggregation on (chash, doc_id) shorts; the top-n compiles to
+    TakeOrderedAndProject; chunk TEXT is attached only to the
+    <= top_n winners via a semi-filtered rejoin of the chunk stream
+    (text for at most top_n hashes crosses the broadcast, never the
+    corpus).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    chunked, keyed = _chunk_stages(docs, k, text_col)
+    stats = (
+        keyed.groupBy("chash")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), "chash")
+        .limit(top_n)
+    )
+    # re-derive the winners' text from the example doc's chunk array —
+    # a broadcast join against <= top_n (doc_id, chash) pairs, so chunk
+    # text is materialized for the winners only
+    ex = (
+        chunked.join(
+            F.broadcast(
+                stats.select(
+                    F.col("example_doc_id").alias("doc_id"), "chash"
+                )
+            ),
+            "doc_id",
+        )
+        .select(
+            "chash",
+            F.explode_outer("chunks").alias("chunk_text"),
+        )
+        .filter(F.col("chunk_text").isNotNull())
+        .filter(
+            F.substring(
+                F.md5(F.encode(F.col("chunk_text"), "UTF-8")), 1, 16
+            )
+            == F.col("chash")
+        )
+        .groupBy("chash")
+        .agg(F.min("chunk_text").alias("chunk_text"))
+    )
+    return stats.join(ex, "chash").select(
+        "chash",
+        F.col("df").cast("long").alias("df"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("example_doc_id").cast("long").alias("example_doc_id"),
+        "chunk_text",
+    ).orderBy(F.desc("df"), "chash")

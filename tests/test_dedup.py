@@ -497,3 +497,34 @@ def test_cross_source_chunks_is_strictly_cross(spark):
         for r in cross_source_chunks(docs).collect()
     }
     assert got == {("s1", "s2"): 1}
+
+
+def test_template_report_semantics(spark):
+    """Planted template: a chunk shared by 4 docs must rank first with
+    the right df/occurrence counts and its verbatim text attached."""
+    from ocr_pipeline_spark.operators.dedup import template_report
+
+    tpl = " ".join(f"nav{i}" for i in range(10))
+    rows = [
+        (1, tpl + " body one"),
+        (2, tpl + " body two"),
+        (3, tpl + " " + tpl),          # two occurrences, one doc
+        (4, tpl + " body four"),
+        (5, "unique prose entirely " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = template_report(docs, min_df=3, top_n=5).collect()
+    assert got and got[0]["chunk_text"] == tpl
+    assert got[0]["df"] == 4
+    assert got[0]["n_occurrences"] == 5
+    assert got[0]["example_doc_id"] == 1
+
+
+def test_template_report_plan_attaches_text_to_winners_only(spark):
+    from ocr_pipeline_spark.operators.dedup import template_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = template_report(docs, min_df=3, top_n=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
