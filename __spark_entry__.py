@@ -157,6 +157,7 @@ from ocr_pipeline_spark.operators.temporal import (
     cohort_retention,
     event_funnel,
     interval_join_count,
+    ewma_values,
     session_values,
     sessionize,
 )
@@ -319,6 +320,7 @@ _VALIDATION_PRIORITY = [
     "t_session_value",
     "qc_vs_lm",
     "dd_templates",
+    "t_ewma",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -1168,6 +1170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("cohort_week", "week_offset"),
         # per-session value rollup (sessionize + the money recipe;
         # operators/temporal.py:session_values)
+        # per-user EWMA of the value stream — deterministic sequential
+        # left fold per key, identical operand order on both engines
+        # (operators/temporal.py:ewma_values)
+        "t_ewma": lambda s, d: ewma_values(
+            _t(s, d, "events")
+        ).orderBy("user_id"),
         "t_session_value": lambda s, d: session_values(
             _t(s, d, "events")
         ).orderBy("user_id", "session_start"),
@@ -4748,6 +4756,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # t_session_value: the t_sessions CTE plus the decimal money
         # fold per session
+        # t_ewma: list_reduce over list(value ORDER BY ts, event_id)
+        # replays the exact fold (first element is the init, matching
+        # the Spark aggregate(vs[2:], vs[1], ...) form)
+        "t_ewma": """
+            WITH a AS (
+              SELECT user_id,
+                     cast(count(*) as bigint) AS n_events,
+                     cast(floor(epoch(max(ts))) as bigint) AS last_ts,
+                     list(value ORDER BY ts, event_id) AS vs
+              FROM events GROUP BY user_id)
+            SELECT user_id, n_events, last_ts,
+                   round(list_reduce(vs,
+                     (acc, x) -> acc + 0.2 * (x - acc)), 4) + 0.0
+                     AS ewma
+            FROM a ORDER BY user_id
+        """,
         "t_session_value": """
             WITH o AS (
               SELECT user_id, ts, value,

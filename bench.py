@@ -154,6 +154,8 @@ EXTENDED = [
     "qc_vs_lm",
     # boilerplate template audit (df election + winners-only text)
     "dd_templates",
+    # per-key EWMA (deterministic sequential left fold)
+    "t_ewma",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -33,6 +33,7 @@ __all__ = [
     "event_funnel",
     "cohort_retention",
     "session_values",
+    "ewma_values",
 ]
 
 
@@ -301,4 +302,70 @@ def session_values(
             "n_events",
             "session_value",
         )
+    )
+
+
+def ewma_values(
+    events: DataFrame,
+    alpha_bp: int = 2000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of a value stream
+    in event-time order — the streaming-metrics smoother (alerting
+    baselines, per-user spend trend) expressed as ONE deterministic
+    sequential left fold per key:
+
+        s_1 = x_1;   s_i = s_{i-1} + alpha * (x_i - s_{i-1})
+
+    with alpha = alpha_bp / 10000. The fold runs over the key's
+    time-ordered value array (sort_array over collect_list of
+    (ts, id, value) structs — the deterministic-order recipe; ties
+    break by the id column), and the oracle replays the IDENTICAL
+    operand order via DuckDB's list_reduce over list(value ORDER BY
+    ts, id), so every intermediate double is bit-equal (the CLAUDE.md
+    sequential-left-fold rule). Output ewma is round(.,4) + 0.0.
+
+    Output: (key, n_events, last_ts epoch-seconds bigint, ewma double).
+
+    Scale contract: one shuffle on the key; each key's value array
+    materializes on one task — EWMA is inherently sequential and
+    NON-mergeable, so the per-key event count must fit a task (same
+    per-group memory contract as epoch_shuffle's shards; for unbounded
+    keys, window the stream first and chain EWMAs across windows
+    driver-side).
+    """
+    if not 0 < alpha_bp <= 10000:
+        raise ValueError(f"alpha_bp must be in (0, 10000], got {alpha_bp}")
+    alpha = alpha_bp / 10000.0
+    arr = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").cast("long").alias("e"),
+                F.col(id_col).alias("i"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "k",
+            F.size("ss").cast("long").alias("n_events"),
+            F.element_at("ss", -1)["e"].cast("long").alias("last_ts"),
+            F.transform(F.col("ss"), lambda s: s["v"]).alias("vs"),
+        )
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at("vs", 1),
+        lambda acc, x: acc + F.lit(alpha) * (x - acc),
+    )
+    return arr.select(
+        F.col("k").alias(key_col),
+        "n_events",
+        "last_ts",
+        (F.round(fold, 4) + F.lit(0.0)).alias("ewma"),
     )

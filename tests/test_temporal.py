@@ -241,3 +241,48 @@ def test_session_values_money_fold(spark):
         for r in session_values(df).collect()
     )
     assert got == [(1, 1, 0.40), (1, 2, 3.35), (2, 1, 5.00)]
+
+
+def test_ewma_values_fold_and_ties(spark):
+    from datetime import datetime as dt
+
+    from ocr_pipeline_spark.operators.temporal import ewma_values
+
+    rows = [
+        (1, dt(2026, 1, 1, 10), 1, "v", 1.0),
+        (2, dt(2026, 1, 1, 11), 1, "v", 2.0),
+        (3, dt(2026, 1, 1, 12), 1, "v", 3.0),
+        # same-timestamp tie for user 2: event_id breaks it (5 then 6)
+        (5, dt(2026, 1, 1, 9), 2, "v", 10.0),
+        (6, dt(2026, 1, 1, 9), 2, "v", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_values(df).collect()
+    }
+    assert got[1] == (3, 1.56)      # 1 -> 1.2 -> 1.56 at alpha 0.2
+    assert got[2] == (2, 8.0)       # 10 -> 10 + 0.2*(0-10) = 8.0
+    # partition independence
+    b = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_values(df.repartition(5)).collect()
+    }
+    assert b == got
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    import pytest as _pytest
+
+    from ocr_pipeline_spark.operators.temporal import ewma_values
+
+    df = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    for bad in (0, 10001, -5):
+        with _pytest.raises(ValueError):
+            ewma_values(df, alpha_bp=bad)
