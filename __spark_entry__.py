@@ -114,7 +114,11 @@ from ocr_pipeline_spark.operators.bloom import (
     bloom_gate,
     bloom_probe,
 )
-from ocr_pipeline_spark.operators.graph import pagerank, connected_components
+from ocr_pipeline_spark.operators.graph import (
+    connected_components,
+    degree_distribution,
+    pagerank,
+)
 from ocr_pipeline_spark.operators.index import bm25_search, term_postings
 from ocr_pipeline_spark.operators.links import link_rows, page_edges
 from ocr_pipeline_spark.operators.sketch import (
@@ -321,6 +325,7 @@ _VALIDATION_PRIORITY = [
     "qc_vs_lm",
     "dd_templates",
     "t_ewma",
+    "g_degree_dist",
     "lm_stupid_backoff",
     "lm_vocab_coverage",
     # newest green row is r2 (fell past the r3/r4 50-row caps,
@@ -536,6 +541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # connected components of the same extracted page graph —
         # mirror/site-island analysis (operators/graph.py:
         # connected_components; hash-min + pointer jumping)
+        # degree distribution of the page graph (crawl sanity plot:
+        # template/bot spikes vs power-law tail;
+        # operators/graph.py:degree_distribution)
+        "g_degree_dist": lambda s, d: degree_distribution(
+            page_edges(_synth_pages_df(s))
+        ).orderBy("direction", "degree"),
         "g_components": lambda s, d: connected_components(
             page_edges(_synth_pages_df(s))
         ).orderBy("node"),
@@ -1424,6 +1435,32 @@ def _x_links_oracle() -> str:
         SELECT src, link_idx::INTEGER AS link_idx, href, resolved
         FROM (VALUES {rows}) t(src, link_idx, href, resolved)
         ORDER BY src, link_idx
+    """
+
+
+def _g_degree_dist_oracle() -> str:
+    """Degree histogram over the same inlined kernel-derived edges."""
+    from ocr_pipeline_spark.operators.textstats import token_hash48
+
+    edges = ", ".join(
+        f"({token_hash48(u)}, {token_hash48(r)})"
+        for u, _, _, r in _links_expected()
+        if r is not None
+    )
+    return f"""
+        WITH e AS (SELECT src, dst FROM (VALUES {edges}) t(src, dst)),
+        od AS (SELECT cast(count(*) as bigint) AS degree FROM e
+               GROUP BY src),
+        idg AS (SELECT cast(count(*) as bigint) AS degree FROM e
+                GROUP BY dst)
+        SELECT 'out' AS direction, degree,
+               cast(count(*) as bigint) AS n_nodes
+        FROM od GROUP BY degree
+        UNION ALL
+        SELECT 'in' AS direction, degree,
+               cast(count(*) as bigint) AS n_nodes
+        FROM idg GROUP BY degree
+        ORDER BY direction, degree
     """
 
 
@@ -5017,6 +5054,7 @@ def oracle_sql() -> dict[str, str]:
         "x_links": _x_links_oracle(),
         "g_pagerank_web": _g_pagerank_web_oracle(),
         "g_components": _g_components_oracle(),
+        "g_degree_dist": _g_degree_dist_oracle(),
         "mm_dedup": _mm_dedup_oracle(),
         "mm_decode_meta": _mm_decode_meta_oracle(),
         "mm_features": _mm_features_oracle(),

@@ -156,6 +156,8 @@ EXTENDED = [
     "dd_templates",
     # per-key EWMA (deterministic sequential left fold)
     "t_ewma",
+    # degree distribution of the page graph (two count aggregations)
+    "g_degree_dist",
 ]
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"

@@ -51,7 +51,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_until", "out_degrees", "connected_components"]
+__all__ = [
+    "pagerank",
+    "pagerank_until",
+    "out_degrees",
+    "connected_components",
+    "degree_distribution",
+]
 
 SCALE_BP = 10_000
 
@@ -213,4 +219,37 @@ def connected_components(
     ).select(
         F.col("doc_id").alias("node"),
         F.col("cluster_id").alias("component"),
+    )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree distribution of the link graph — the first sanity plot of
+    any crawl (a power-law tail is expected; a spike at some exact
+    degree is a template/bot signature): for each (direction, degree),
+    how many nodes have it.
+
+    Output: (direction 'in'|'out', degree, n_nodes) — at most
+    2 x |distinct degrees| rows.
+
+    Scale shape: two count aggregations on single id columns (map-side
+    partials) + one tiny recount per degree; nothing else moves.
+    """
+    outd = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit("out").alias("direction"), "degree", "n_nodes")
+    )
+    ind = (
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit("in").alias("direction"), "degree", "n_nodes")
+    )
+    return outd.unionByName(ind).select(
+        "direction",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
     )

@@ -153,3 +153,25 @@ def test_connected_components_chain_converges(spark):
     got = connected_components(edges).collect()
     assert len(got) == n + 1
     assert all(r["component"] == 0 for r in got)
+
+
+def test_degree_distribution_counts(spark):
+    from ocr_pipeline_spark.operators.graph import degree_distribution
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 3)], "src long, dst long"
+    )
+    got = {
+        (r["direction"], r["degree"]): r["n_nodes"]
+        for r in degree_distribution(edges).collect()
+    }
+    # out: node1 deg2; nodes 2,4 deg1. in: node3 deg3; node2 deg1.
+    assert got == {
+        ("out", 2): 1, ("out", 1): 2,
+        ("in", 3): 1, ("in", 1): 1,
+    }
+    # mass conservation: sum(degree*n) equals |edges| per direction
+    tot = {"in": 0, "out": 0}
+    for (d, deg), n in got.items():
+        tot[d] += deg * n
+    assert tot == {"in": 4, "out": 4}
